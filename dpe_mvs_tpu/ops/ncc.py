@@ -1,0 +1,164 @@
+"""Bilateral-weighted NCC matching costs and geometric-consistency cost.
+
+TPU-native reformulation of the reference cost functions
+(``ComputeBilateralNCCOld`` DPE.cu:692-778, ``ComputeBilateralNCCNew``
+:557-690, ``ComputeGeomConsistencyCost`` :915-953):
+
+  - instead of one CUDA thread walking a window with texture reads, the whole
+    image evaluates one window *sample offset* at a time as fused vector ops
+    over (H, W) arrays, with a single 2x2-patch gather per sample point;
+  - the plane-induced homography is evaluated per pixel once per
+    (candidate, view) and applied to sample offsets incrementally
+    (H @ (p + o) = H @ p + ox * H[:,0] + oy * H[:,1]);
+  - the reference's adaptive weak-pixel radius always yields 6 samples per
+    axis with spacing 2r/5 (RANSACToGetFitPlane forces r % 5 == 0,
+    DPE.cu:3104), so the adaptive window is a *static* 36-sample stencil with
+    a per-pixel scale factor — exactly what a TPU wants.
+
+Costs are in [0, 2] with 2.0 == COST_MAX meaning invalid (DPE.cu:573).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import COST_MAX, GEOM_COST_MAX
+from ..geometry import cameras as geo
+from . import sampling
+
+K_MIN_VAR = 1e-5
+
+
+def window_offsets(radius: int, increment: int) -> np.ndarray:
+    """Static window offsets (S, 2) as the reference's
+    ``for i in -r..r step inc`` double loop."""
+    r = np.arange(-radius, radius + 1, increment, dtype=np.float32)
+    ox, oy = np.meshgrid(r, r, indexing="ij")  # i == x offset, j == y offset
+    return np.stack([ox.ravel(), oy.ravel()], axis=-1)
+
+
+class HomographyField(NamedTuple):
+    """Per-pixel plane homography, decomposed for incremental application."""
+
+    q0: jnp.ndarray  # (..., 3)  H @ [cx, cy, 1]
+    hx: jnp.ndarray  # (..., 3)  H[:, 0]
+    hy: jnp.ndarray  # (..., 3)  H[:, 1]
+
+    def at_offset(self, ox, oy):
+        """ox/oy: python scalars or arrays broadcastable to the pixel grid."""
+        ox = jnp.asarray(ox)[..., None]
+        oy = jnp.asarray(oy)[..., None]
+        q = self.q0 + self.hx * ox + self.hy * oy
+        return q[..., 0] / q[..., 2], q[..., 1] / q[..., 2]
+
+
+def homography_field(ref_cam: geo.Camera, src_K, R_rel, t_rel, plane, cx, cy
+                     ) -> HomographyField:
+    """Build the per-pixel homography for a plane field, pre-applied at the
+    window centers (cx, cy)."""
+    src_cam = geo.Camera(K=src_K, R=jnp.eye(3), t=jnp.zeros(3))
+    Hm = geo.homography_from_plane(ref_cam, src_cam, plane, R_rel=R_rel,
+                                   t_rel=t_rel)
+    hx = Hm[..., :, 0]
+    hy = Hm[..., :, 1]
+    hz = Hm[..., :, 2]
+    q0 = hx * cx[..., None] + hy * cy[..., None] + hz
+    return HomographyField(q0=q0, hx=hx, hy=hy)
+
+
+def bilateral_ncc(
+    ref_img: jnp.ndarray,          # (H, W)
+    src_img: jnp.ndarray,          # (H, W)
+    hom: HomographyField,          # per-pixel, pre-applied at (cx, cy)
+    cx: jnp.ndarray,               # (H, W) window center x (float)
+    cy: jnp.ndarray,               # (H, W) window center y
+    offsets: np.ndarray,           # (S, 2) static
+    sigma_spatial: float,
+    sigma_color: float,
+    ref_center_pix: jnp.ndarray,   # (H, W) color anchor for bilateral weight
+    scale: Optional[jnp.ndarray] = None,   # per-pixel offset scale (adaptive r)
+    grid_centered: bool = False,           # (cx, cy) == the pixel grid itself
+) -> jnp.ndarray:
+    """Bilateral-weighted NCC cost of one window per pixel against one source
+    view. Returns (H, W) cost in [0, COST_MAX]."""
+    height, width = src_img.shape
+
+    sum_ref = jnp.zeros_like(ref_img)
+    sum_ref_ref = jnp.zeros_like(ref_img)
+    sum_src = jnp.zeros_like(ref_img)
+    sum_src_src = jnp.zeros_like(ref_img)
+    sum_ref_src = jnp.zeros_like(ref_img)
+    sum_w = jnp.zeros_like(ref_img)
+
+    # When the window centers are exactly the pixel grid, reference-image
+    # window reads with integer offsets are static shifts (no gather).
+    for s in range(offsets.shape[0]):
+        ox_c, oy_c = float(offsets[s, 0]), float(offsets[s, 1])
+        if scale is None:
+            ox, oy = ox_c, oy_c
+            if grid_centered and ox_c == int(ox_c) and oy_c == int(oy_c):
+                ref_pix = sampling.shift(ref_img, int(oy_c), int(ox_c))
+            else:
+                ref_pix = sampling.bilinear(ref_img, cx + ox_c, cy + oy_c)
+            spatial = float(np.sqrt(ox_c * ox_c + oy_c * oy_c))
+        else:
+            ox = ox_c * scale
+            oy = oy_c * scale
+            ref_pix = sampling.bilinear(ref_img, cx + ox, cy + oy)
+            spatial = jnp.sqrt(ox * ox + oy * oy)
+        sx, sy = hom.at_offset(ox, oy)
+        src_pix = sampling.bilinear(src_img, sx, sy)
+        # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial distance
+        # over 2*sigma^2 (a reference quirk that shapes the weights; keep it).
+        w = jnp.exp(
+            -spatial / (2.0 * sigma_spatial * sigma_spatial)
+            - jnp.abs(ref_pix - ref_center_pix)
+            / (2.0 * sigma_color * sigma_color)
+        )
+        sum_ref = sum_ref + w * ref_pix
+        sum_ref_ref = sum_ref_ref + w * ref_pix * ref_pix
+        sum_src = sum_src + w * src_pix
+        sum_src_src = sum_src_src + w * src_pix * src_pix
+        sum_ref_src = sum_ref_src + w * ref_pix * src_pix
+        sum_w = sum_w + w
+
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    m_src = sum_src * inv_w
+    var_ref = sum_ref_ref * inv_w - m_ref * m_ref
+    var_src = sum_src_src * inv_w - m_src * m_src
+    covar = sum_ref_src * inv_w - m_ref * m_src
+    denom = jnp.sqrt(jnp.maximum(var_ref * var_src, K_MIN_VAR * K_MIN_VAR))
+    ncc = jnp.clip(1.0 - covar / denom, 0.0, COST_MAX)
+    cost = jnp.where(
+        (var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR), COST_MAX, ncc
+    )
+
+    # Window-center out-of-source-image -> COST_MAX (DPE.cu:577-580).
+    ctr_x, ctr_y = hom.at_offset(jnp.zeros_like(cx), jnp.zeros_like(cy))
+    oob = (ctr_x < 0.0) | (ctr_x >= width) | (ctr_y < 0.0) | (ctr_y >= height)
+    return jnp.where(oob, COST_MAX, cost)
+
+
+def geom_consistency_cost(
+    ref_cam: geo.Camera,
+    src_cam: geo.Camera,
+    src_depth: jnp.ndarray,   # (H, W) of the source view
+    plane: jnp.ndarray,       # (H, W, 4) ref-cam frame
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+) -> jnp.ndarray:
+    """Forward-backward reprojection error capped at 3.0
+    (``ComputeGeomConsistencyCost``, DPE.cu:915-953)."""
+    depth = geo.depth_from_plane(ref_cam, plane, px, py)
+    Xw = geo.backproject_to_world(ref_cam, px, py, depth)
+    sx, sy, _sd = geo.project_to_camera(src_cam, Xw)
+    d_src = sampling.nearest(src_depth, sx, sy)
+    Xs = geo.backproject_to_world(src_cam, sx, sy, d_src)
+    bx, by, _rd = geo.project_to_camera(ref_cam, Xs)
+    err = jnp.sqrt((px - bx) ** 2 + (py - by) ** 2)
+    err = jnp.minimum(GEOM_COST_MAX, err)
+    return jnp.where(d_src == 0.0, GEOM_COST_MAX, err)

@@ -1,0 +1,93 @@
+"""Image sampling primitives.
+
+The reference reads images through CUDA texture objects with bilinear
+filtering and clamp addressing (``tex2D(img, x + 0.5, y + 0.5)``,
+DPE.cpp:927-933). TPUs have no texture units, so sampling is the central
+performance problem of this framework. This module provides:
+
+  - :func:`bilinear` — exact clamp-to-edge bilinear sampling built on a single
+    ``lax.gather`` of 2x2 patches per sample point (half the gather traffic of
+    the naive 4-tap formulation);
+  - :func:`nearest` — the integer lookup used for source depth maps
+    (``ComputeGeomConsistencyCost`` samples depth at ``(int)x + 0.5``,
+    DPE.cu:936);
+  - :func:`shift` — clamp-padded static shifts for window reads of the
+    *reference* image, which are free on TPU (no gather at all).
+
+All functions operate on a single-channel ``(H, W)`` float image and
+arbitrarily-shaped coordinate arrays.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_2x2(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
+    """Gather 2x2 patches ``img[y0:y0+2, x0:x0+2]`` for each index pair.
+
+    y0/x0: int32 arrays of identical shape S, already clamped to
+    [0, H-2] / [0, W-2]. Returns (*S, 2, 2).
+    """
+    shape = y0.shape
+    starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    out = jax.lax.gather(
+        img, starts, dnums, slice_sizes=(2, 2),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return out.reshape(*shape, 2, 2)
+
+
+def bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Clamp-to-edge bilinear sample of ``img`` at float coords (x, y).
+
+    Matches CUDA ``tex2D`` linear filtering with unnormalized coordinates and
+    clamp addressing, sampled at (x + 0.5, y + 0.5): integer coordinates hit
+    texel centers exactly.
+    """
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0f = jnp.clip(jnp.floor(x), 0.0, W - 2.0) if W > 1 else jnp.zeros_like(x)
+    y0f = jnp.clip(jnp.floor(y), 0.0, H - 2.0) if H > 1 else jnp.zeros_like(y)
+    fx = x - x0f
+    fy = y - y0f
+    patches = gather_2x2(img, y0f.astype(jnp.int32), x0f.astype(jnp.int32))
+    top = patches[..., 0, 0] * (1.0 - fx) + patches[..., 0, 1] * fx
+    bot = patches[..., 1, 0] * (1.0 - fx) + patches[..., 1, 1] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def nearest(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest (floor) lookup with clamp, as the reference's integer depth-map
+    reads: ``tex2D(depth, (int)x + 0.5, (int)y + 0.5)`` (DPE.cu:936)."""
+    H, W = img.shape
+    ix = jnp.clip(x.astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(y.astype(jnp.int32), 0, H - 1)
+    return img.reshape(-1)[iy * W + ix]
+
+
+def lookup_int(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
+    """Integer lookup with clamp for any dtype array (cost maps, masks)."""
+    H, W = img.shape
+    ix = jnp.clip(ix, 0, W - 1)
+    iy = jnp.clip(iy, 0, H - 1)
+    return img.reshape(-1)[iy * W + ix]
+
+
+def shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Static clamp-padded shift: result[y, x] = img[clamp(y+dy), clamp(x+dx)].
+
+    Pure slicing/padding — no gather. Used for reference-image window reads and
+    cost-map neighbourhood scans where offsets are compile-time constants.
+    """
+    H, W = img.shape
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    padded = jnp.pad(img, ((py1, py0), (px1, px0)), mode="edge")
+    return jax.lax.dynamic_slice(padded, (py1 + dy, px1 + dx), (H, W))
