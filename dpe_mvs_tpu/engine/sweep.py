@@ -1,0 +1,142 @@
+"""Sweep composition: ``RunPatchMatch`` as one jitted program.
+
+Stage order mirrors DPE.cu:3126-3249:
+  support precompute -> [anchors for weak px] -> init -> 3x (strong black/red
+  [-> fit-plane RANSAC -> weak black/red]) -> depth+normal -> median filter
+  (black/red) -> DepthToWeak -> LocalRefine.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PatchMatchParams, PixelState
+from ..ops import support as sup_ops
+from . import patchmatch as pm
+from .state import PMState, SweepData
+
+WEAK = int(PixelState.WEAK)
+STRONG = int(PixelState.STRONG)
+UNKNOWN = int(PixelState.UNKNOWN)
+
+
+def checkerboard_mask(H: int, W: int, color: int) -> jnp.ndarray:
+    """color 0 == 'black' ((x + y) even), 1 == 'red' (DPE.cu:1864-1938)."""
+    yg = jnp.arange(H)[:, None]
+    xg = jnp.arange(W)[None, :]
+    return ((xg + yg) % 2) == color
+
+
+def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
+                  key) -> pm.Support:
+    """Per-sweep support maps (GenEdgeInform / FindNearestStrongPoint /
+    GenNeighbours equivalents)."""
+    H, W = data.ref_image.shape
+    max_steps = 1 << int(np.ceil(np.log2(max(H, W))))
+
+    edge_steps = None
+    complexity = None
+    label_runs = None
+    los = None
+    if params.use_edge or params.use_limit:
+        edge_steps = sup_ops.edge_steps(data.edge, max_steps)
+    if params.use_edge:
+        complexity = sup_ops.complexity_map(
+            data.edge, data.label, params.strong_radius, params.use_label)
+    if params.use_label:
+        label_runs = sup_ops.label_run_length(data.label, max_steps)
+    if params.use_limit:
+        los = sup_ops.build_line_of_sight(
+            data.edge_low, W, H, params.high_res_img)
+
+    nearest_strong = None
+    neighbours = None
+    radius = None
+    if params.use_APD:
+        from ..ops import anchors
+        strong_mask = state.weak == STRONG
+        ns_coords, _ns_valid = sup_ops.jfa_nearest(strong_mask, 100.0)
+        nearest_strong = ns_coords
+        neighbours, reliable, weak2 = anchors.gen_neighbours(
+            key, data, state, params,
+            edge_steps=edge_steps, complexity=complexity,
+            label_runs=label_runs, los=los, nearest_strong=ns_coords)
+        state = state._replace(weak=weak2)
+    return pm.Support(
+        edge_steps=edge_steps, complexity=complexity, label_runs=label_runs,
+        los=los, nearest_strong=nearest_strong, neighbours=neighbours,
+        radius=radius, fit_plane=None,
+    ), state
+
+
+def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
+              ) -> PMState:
+    """One full PatchMatch sweep (state -> state). ``params`` must be static
+    under jit."""
+    H, W = data.ref_image.shape
+    key = state.key
+    keys = jax.random.split(key, 32)
+    kidx = iter(range(32))
+    nk = lambda: keys[next(kidx)]
+
+    sup, state = build_support(data, state, params, nk())
+
+    state = pm.initialize(data, state, params)
+
+    for it in range(params.max_iterations):
+        # Strong pixels: black then red (DPE.cu:3199-3202).
+        for color in (0, 1):
+            plane, cost, selected, view_weight = pm.propagate_strong(
+                nk(), data, sup, state, params, it)
+            mask = checkerboard_mask(H, W, color) & (state.weak != WEAK)
+            state = state._replace(
+                plane=jnp.where(mask[..., None], plane, state.plane),
+                cost=jnp.where(mask, cost, state.cost),
+                selected=jnp.where(mask, selected, state.selected),
+                view_weight=jnp.where(
+                    mask[..., None], jnp.moveaxis(view_weight, 0, -1),
+                    state.view_weight),
+            )
+        if params.use_APD:
+            from ..ops import weak as weak_ops
+            sup = sup._replace(
+                **weak_ops.fit_plane_ransac(nk(), data, sup, state, params))
+            for color in (0, 1):
+                plane, cost, selected, view_weight = weak_ops.propagate_weak(
+                    nk(), data, sup, state, params, it)
+                mask = checkerboard_mask(H, W, color) & (state.weak == WEAK)
+                state = state._replace(
+                    plane=jnp.where(mask[..., None], plane, state.plane),
+                    cost=jnp.where(mask, cost, state.cost),
+                    selected=jnp.where(mask, selected, state.selected),
+                    view_weight=jnp.where(
+                        mask[..., None], jnp.moveaxis(view_weight, 0, -1),
+                        state.view_weight),
+                )
+
+    # Plane -> (world normal, depth) (DPE.cu:3214).
+    state = state._replace(plane=pm.to_world_depth(data, state.plane))
+
+    # Median filter, red/black, non-weak pixels only (DPE.cu:3217-3220).
+    for color in (0, 1):
+        new_depth = pm.median_filter_depth(data, state.plane, state.cost,
+                                           state.weak)
+        mask = checkerboard_mask(H, W, color) & (state.weak != WEAK)
+        state = state._replace(
+            plane=state.plane.at[..., 3].set(
+                jnp.where(mask, new_depth, state.plane[..., 3])))
+
+    # Reclassify + polish (DPE.cu:3222-3226).
+    state = state._replace(weak=pm.depth_to_weak(data, state, params))
+    new_depth = pm.local_refine(data, state, params)
+    state = state._replace(
+        plane=state.plane.at[..., 3].set(new_depth),
+        key=keys[-1],
+    )
+    return state
+
+
+run_sweep_jit = jax.jit(run_sweep, static_argnames=("params",))

@@ -83,47 +83,39 @@ def bilateral_ncc(
     grid_centered: bool = False,           # (cx, cy) == the pixel grid itself
 ) -> jnp.ndarray:
     """Bilateral-weighted NCC cost of one window per pixel against one source
-    view. Returns (H, W) cost in [0, COST_MAX]."""
+    view. Returns (H, W) cost in [0, COST_MAX].
+
+    Sample-vectorized: all S window samples are evaluated as one batched
+    (S, H, W) gather — compact HLO and maximal gather throughput.
+    """
+    del grid_centered  # gathers are uniformly fast on TPU; single code path
     height, width = src_img.shape
 
-    sum_ref = jnp.zeros_like(ref_img)
-    sum_ref_ref = jnp.zeros_like(ref_img)
-    sum_src = jnp.zeros_like(ref_img)
-    sum_src_src = jnp.zeros_like(ref_img)
-    sum_ref_src = jnp.zeros_like(ref_img)
-    sum_w = jnp.zeros_like(ref_img)
+    ox = jnp.asarray(offsets[:, 0])[:, None, None]           # (S, 1, 1)
+    oy = jnp.asarray(offsets[:, 1])[:, None, None]
+    if scale is not None:
+        ox = ox * scale[None]
+        oy = oy * scale[None]
+    rx = cx[None] + ox
+    ry = cy[None] + oy
+    ref_pix = sampling.bilinear(ref_img, rx, ry)              # (S, H, W)
+    sx, sy = hom.at_offset(ox, oy)
+    src_pix = sampling.bilinear(src_img, sx, sy)
 
-    # When the window centers are exactly the pixel grid, reference-image
-    # window reads with integer offsets are static shifts (no gather).
-    for s in range(offsets.shape[0]):
-        ox_c, oy_c = float(offsets[s, 0]), float(offsets[s, 1])
-        if scale is None:
-            ox, oy = ox_c, oy_c
-            if grid_centered and ox_c == int(ox_c) and oy_c == int(oy_c):
-                ref_pix = sampling.shift(ref_img, int(oy_c), int(ox_c))
-            else:
-                ref_pix = sampling.bilinear(ref_img, cx + ox_c, cy + oy_c)
-            spatial = float(np.sqrt(ox_c * ox_c + oy_c * oy_c))
-        else:
-            ox = ox_c * scale
-            oy = oy_c * scale
-            ref_pix = sampling.bilinear(ref_img, cx + ox, cy + oy)
-            spatial = jnp.sqrt(ox * ox + oy * oy)
-        sx, sy = hom.at_offset(ox, oy)
-        src_pix = sampling.bilinear(src_img, sx, sy)
-        # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial distance
-        # over 2*sigma^2 (a reference quirk that shapes the weights; keep it).
-        w = jnp.exp(
-            -spatial / (2.0 * sigma_spatial * sigma_spatial)
-            - jnp.abs(ref_pix - ref_center_pix)
-            / (2.0 * sigma_color * sigma_color)
-        )
-        sum_ref = sum_ref + w * ref_pix
-        sum_ref_ref = sum_ref_ref + w * ref_pix * ref_pix
-        sum_src = sum_src + w * src_pix
-        sum_src_src = sum_src_src + w * src_pix * src_pix
-        sum_ref_src = sum_ref_src + w * ref_pix * src_pix
-        sum_w = sum_w + w
+    # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial distance
+    # over 2*sigma^2 (a reference quirk that shapes the weights; keep it).
+    spatial = jnp.sqrt(ox * ox + oy * oy)
+    w = jnp.exp(
+        -spatial / (2.0 * sigma_spatial * sigma_spatial)
+        - jnp.abs(ref_pix - ref_center_pix[None])
+        / (2.0 * sigma_color * sigma_color)
+    )
+    sum_w = jnp.sum(w, axis=0)
+    sum_ref = jnp.sum(w * ref_pix, axis=0)
+    sum_ref_ref = jnp.sum(w * ref_pix * ref_pix, axis=0)
+    sum_src = jnp.sum(w * src_pix, axis=0)
+    sum_src_src = jnp.sum(w * src_pix * src_pix, axis=0)
+    sum_ref_src = jnp.sum(w * ref_pix * src_pix, axis=0)
 
     inv_w = 1.0 / sum_w
     m_ref = sum_ref * inv_w

@@ -80,6 +80,15 @@ def lookup_int(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarra
     return img.reshape(-1)[iy * W + ix]
 
 
+def gather_map(arr: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """arr[(iy, ix)] with clamp; arr (H, W, ...) and integer index arrays of a
+    common shape S -> (*S, ...)."""
+    H, W = arr.shape[:2]
+    lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    flat = arr.reshape(H * W, *arr.shape[2:])
+    return jnp.take(flat, lin, axis=0)
+
+
 def shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Static clamp-padded shift: result[y, x] = img[clamp(y+dy), clamp(x+dx)].
 

@@ -1,0 +1,421 @@
+"""Weak-texture machinery: deformable NCC, per-iteration plane fit, weak
+propagation (reference C8: DPE.cu:557-690, 1668-1862, 2891-3124).
+
+All functions evaluate dense (H, W) proposals; the sweep driver masks them to
+the weak checkerboard half. ``sup.neighbours`` holds the 8 deformable strong
+anchors per pixel from :mod:`..ops.anchors`.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import COST_MAX, GEOM_COST_MAX, PatchMatchParams, PixelState, RunState
+from ..geometry import cameras as geo
+from ..ops import ncc, planes as planegen, sampling, support
+from ..engine.state import PMState, SweepData
+
+WEAK = int(PixelState.WEAK)
+STRONG = int(PixelState.STRONG)
+UNKNOWN = int(PixelState.UNKNOWN)
+BIG = jnp.float32(1e30)
+NEIGHBOUR_NUM = 9
+
+
+def weak_offsets(params: PatchMatchParams) -> np.ndarray:
+    return ncc.window_offsets(params.weak_radius, params.weak_increment)
+
+
+def deformable_cost_vector(
+    data: SweepData,
+    sup,
+    state: PMState,
+    plane: jnp.ndarray,
+    params: PatchMatchParams,
+) -> jnp.ndarray:
+    """(V, H, W) deformable NCC (``ComputeBilateralNCCNew``, DPE.cu:557-690):
+    0.25 * center window (adaptive radius) + 0.75 * mean over up-to-8 strong
+    anchor windows, all warped by the *candidate's* plane homography."""
+    H, W = data.ref_image.shape
+    px, py = geo.pixel_grid(H, W)
+    offs_strong = ncc.window_offsets(params.strong_radius, params.strong_increment)
+    offs_weak = weak_offsets(params)
+    nview = data.num_src
+
+    scale = None
+    if params.use_radius and sup.radius is not None:
+        scale = sup.radius / float(params.strong_radius)
+
+    anchors = sup.neighbours                     # (8, H, W, 2)
+    anchor_valid = [anchors[k, ..., 0] >= 0 for k in range(8)]
+    anchor_x = [anchors[k, ..., 0].astype(jnp.float32) for k in range(8)]
+    anchor_y = [anchors[k, ..., 1].astype(jnp.float32) for k in range(8)]
+    anchor_sel = [
+        sampling.gather_map(state.selected, anchors[k, ..., 1],
+                            anchors[k, ..., 0])
+        for k in range(8)
+    ]
+
+    def body(_, xs):
+        img, K, R_rel, t_rel, valid, v_idx = xs
+        # Center window (k == 0) with adaptive radius.
+        hom_c = ncc.homography_field(data.ref_cam, K, R_rel, t_rel, plane,
+                                     px, py)
+        c0 = ncc.bilateral_ncc(
+            data.ref_image, img, hom_c, px, py, offs_strong, 5.0, 3.0,
+            data.ref_image, scale=scale,
+            grid_centered=(scale is None),
+        )
+        # Center warp out of source image -> whole cost is COST_MAX
+        # (DPE.cu:577-580); bilateral_ncc already returns COST_MAX then.
+
+        strong_sum = jnp.zeros((H, W))
+        strong_cnt = jnp.zeros((H, W))
+        for k in range(8):
+            hom_k = ncc.homography_field(data.ref_cam, K, R_rel, t_rel, plane,
+                                         anchor_x[k], anchor_y[k])
+            ck = ncc.bilateral_ncc(
+                data.ref_image, img, hom_k, anchor_x[k], anchor_y[k],
+                offs_weak, 5.0, 3.0, data.ref_image)
+            wx, wy = hom_k.at_offset(jnp.zeros((H, W)), jnp.zeros((H, W)))
+            oob = (wx < 0) | (wy < 0) | (wx >= W) | (wy >= H)
+            sel_here = ((anchor_sel[k] >> v_idx.astype(jnp.uint32)) & 1) == 1
+            # In-bounds anchor -> its window cost; OOB anchor counts COST_MAX
+            # only if it had selected this view (DPE.cu:595-607).
+            contrib = jnp.where(oob, jnp.where(sel_here, COST_MAX, 0.0), ck)
+            counts = jnp.where(oob, jnp.where(sel_here, 1.0, 0.0), 1.0)
+            strong_sum += jnp.where(anchor_valid[k], contrib, 0.0)
+            strong_cnt += jnp.where(anchor_valid[k], counts, 0.0)
+
+        strong_cost = jnp.minimum(
+            strong_sum / jnp.maximum(strong_cnt, 1.0), COST_MAX)
+        cost = jnp.where(strong_cnt > 0,
+                         0.25 * c0 + 0.75 * strong_cost, c0)
+        return None, jnp.where(valid, cost, COST_MAX)
+
+    _, costs = jax.lax.scan(
+        body, None,
+        (data.src_images, data.src_cams.K, data.R_rel, data.t_rel,
+         data.view_valid, jnp.arange(nview)),
+    )
+    return costs
+
+
+def _geom_vec(data, plane):
+    from ..engine import patchmatch as pm
+    return pm.geom_cost_vector(data, plane)
+
+
+def fit_plane_ransac(key, data: SweepData, sup, state: PMState,
+                     params: PatchMatchParams) -> dict:
+    """Per-weak-pixel plane fit over the 8 anchors + adaptive NCC radius
+    (``RANSACToGetFitPlane``, DPE.cu:2891-3124). Returns dict(fit_plane,
+    radius) for Support._replace. ``state.plane`` is in (n_cam, dist)
+    layout (mid-sweep)."""
+    H, W = data.ref_image.shape
+    px, py = geo.pixel_grid(H, W)
+    k_lim, k_iter = jax.random.split(key)
+    cam = data.ref_cam
+
+    anchors = sup.neighbours                      # (8, H, W, 2)
+    ax = jnp.moveaxis(anchors[..., 0], 0, -1)     # (H, W, 8)
+    ay = jnp.moveaxis(anchors[..., 1], 0, -1)
+    valid = ax >= 0
+    strong_count = jnp.sum(valid, axis=-1)
+
+    # Anchor cam-frame 3D data from their current planes (DPE.cu:2928-2945).
+    a_plane = sampling.gather_map(state.plane, ay, ax)     # (H, W, 8, 4)
+    a_depth = geo.depth_from_plane(
+        cam, a_plane, ax.astype(jnp.float32), ay.astype(jnp.float32))
+    fx_ = (ax.astype(jnp.float32) - cam.cx) / cam.fx
+    fy_ = (ay.astype(jnp.float32) - cam.cy) / cam.fy
+    a_n = a_plane[..., :3]
+
+    # Per-pixel edge limit; after GenNeighbours bumped complexity to >=0.99
+    # for limited pixels, the redraw here almost always disables the limit
+    # (DPE.cu:2912-2920 + 2162).
+    if params.use_limit and params.use_edge:
+        u = jax.random.uniform(k_lim, (H, W))
+        edge_limit = u >= sup.complexity
+    else:
+        edge_limit = jnp.full((H, W), bool(params.use_limit))
+
+    must_tri0 = ~(jnp.full((H, W), params.use_label, bool)
+                  & (data.label > 0) & edge_limit)
+
+    def pick(arr, idx):
+        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+
+    def step(carry, k):
+        best_plane, min_cost, has_best, has_strong, must_tri, tri = carry
+        ka, kb, kc = jax.random.split(k, 3)
+        ia = jax.random.randint(ka, (H, W), 0, 8)
+        ib = jax.random.randint(kb, (H, W), 0, 8)
+        ic = jax.random.randint(kc, (H, W), 0, 8)
+        # Reference indexes modulo the *valid* count; emulate by clamping to
+        # valid slots (anchors are packed first by construction).
+        cnt = jnp.maximum(strong_count, 1)
+        ia = ia % cnt
+        ib = ib % cnt
+        ic = ic % cnt
+        ok = (ia != ib) & (ib != ic) & (ia != ic) & (strong_count >= 3)
+
+        pax, pay = pick(ax, ia).astype(jnp.float32), pick(ay, ia).astype(jnp.float32)
+        pbx, pby = pick(ax, ib).astype(jnp.float32), pick(ay, ib).astype(jnp.float32)
+        pcx, pcy = pick(ax, ic).astype(jnp.float32), pick(ay, ic).astype(jnp.float32)
+
+        if params.geom_consistency:
+            na = jnp.take_along_axis(a_n, ia[..., None, None], -2)[..., 0, :]
+            nb = jnp.take_along_axis(a_n, ib[..., None, None], -2)[..., 0, :]
+            nc = jnp.take_along_axis(a_n, ic[..., None, None], -2)[..., 0, :]
+            consist = (jnp.sum(na * nb, -1) >= 0.8660254) & \
+                (jnp.sum(na * nc, -1) >= 0.8660254) & \
+                (jnp.sum(nb * nc, -1) >= 0.8660254)
+            consist = consist & edge_limit
+            ok = ok & ~(has_strong & ~consist)
+        else:
+            consist = jnp.zeros((H, W), bool)
+
+        # In-triangle constraint (DPE.cu:2982-2984).
+        def edge_len(x0, y0, x1, y1):
+            return jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+        ab = edge_len(pax, pay, pbx, pby)
+        bc = edge_len(pbx, pby, pcx, pcy)
+        ca = edge_len(pcx, pcy, pax, pay)
+        good_tri = (ab > 2) & (bc > 2) & (ca > 2) & \
+            (ab + bc > ca) & (bc + ca > ab) & (ab + ca > bc)
+        t1 = (pax - px) * (pby - py) - (pay - py) * (pbx - px)
+        t2 = (pbx - px) * (pcy - py) - (pby - py) * (pcx - px)
+        t3 = (pcx - px) * (pay - py) - (pcy - py) * (pax - px)
+        in_tri = good_tri & (t1 * t2 >= 0) & (t1 * t3 >= 0)
+        ok = ok & (in_tri | ~must_tri)
+
+        if sup.los is not None:
+            cr = sup.los.crossing(pax, pay, pbx, pby, data.edge) | \
+                sup.los.crossing(pbx, pby, pcx, pcy, data.edge) | \
+                sup.los.crossing(pcx, pcy, pax, pay, data.edge)
+            ok = ok & ~(edge_limit & cr)
+
+        za = pick(a_depth, ia)
+        zb = pick(a_depth, ib)
+        zc = pick(a_depth, ic)
+        A = jnp.stack([pick(fx_, ia) * za, pick(fy_, ia) * za, za], -1)
+        B = jnp.stack([pick(fx_, ib) * zb, pick(fy_, ib) * zb, zb], -1)
+        C = jnp.stack([pick(fx_, ic) * zc, pick(fy_, ic) * zc, zc], -1)
+        cr3 = jnp.cross(A - C, B - C)
+        nrm2 = jnp.sum(cr3 * cr3, -1)
+        ok = ok & (nrm2 > 0) & jnp.isfinite(nrm2)
+        nrm = cr3 / jnp.sqrt(jnp.maximum(nrm2, 1e-30))[..., None]
+        dpl = -jnp.sum(nrm * A, -1)
+
+        fit_all = -dpl[..., None] / (
+            nrm[..., None, 0] * fx_ + nrm[..., None, 1] * fy_
+            + nrm[..., None, 2])
+        resid = jnp.abs(fit_all - a_depth)
+        not_in_triple = (jnp.arange(8)[None, None] != ia[..., None]) & \
+            (jnp.arange(8)[None, None] != ib[..., None]) & \
+            (jnp.arange(8)[None, None] != ic[..., None])
+        cost = jnp.sum(jnp.where(valid & not_in_triple, resid, 0.0), axis=-1)
+
+        take = ok & (cost < min_cost)
+        plane4 = jnp.concatenate([nrm, dpl[..., None]], -1)
+        best_plane = jnp.where(take[..., None], plane4, best_plane)
+        min_cost = jnp.where(take, cost, min_cost)
+        has_best = has_best | take
+        has_strong = has_strong | (ok & consist)
+        must_tri = must_tri | (take & in_tri)
+        tri = jnp.where(
+            take[..., None],
+            jnp.stack([pax, pay, pbx, pby, pcx, pcy], -1), tri)
+        return (best_plane, min_cost, has_best, has_strong, must_tri, tri), None
+
+    init = (
+        jnp.zeros((H, W, 4)),
+        jnp.full((H, W), BIG),
+        jnp.zeros((H, W), bool),
+        jnp.zeros((H, W), bool),
+        must_tri0,
+        jnp.zeros((H, W, 6)),
+    )
+    ks = jax.random.split(k_iter, 50)
+    (best_plane, _mc, has_best, _hs, must_tri, tri), _ = jax.lax.scan(
+        step, init, ks)
+
+    # Orient toward the viewer (DPE.cu:3048-3057).
+    depth_now = geo.depth_from_plane(cam, state.plane, px, py)
+    view = geo.view_direction(cam, px, py)
+    flip = jnp.sum(best_plane[..., :3] * view, -1) > 0
+    best_plane = jnp.where(flip[..., None], -best_plane, best_plane)
+
+    is_weak = state.weak == WEAK
+    fit_plane = jnp.where(
+        (is_weak & has_best)[..., None], best_plane,
+        jnp.where(is_weak[..., None], jnp.zeros(4), state.plane))
+
+    radius = jnp.full((H, W), float(params.strong_radius))
+    if params.use_radius:
+        pax, pay, pbx, pby, pcx, pcy = [tri[..., i] for i in range(6)]
+        a = jnp.sqrt((pax - pbx) ** 2 + (pay - pby) ** 2)
+        b = jnp.sqrt((pbx - pcx) ** 2 + (pby - pcy) ** 2)
+        c = jnp.sqrt((pcx - pax) ** 2 + (pcy - pay) ** 2)
+        s = (a + b + c) / 2.0
+        area = jnp.sqrt(jnp.maximum(s * (s - a) * (s - b) * (s - c), 0.0))
+        r = jnp.floor(jnp.sqrt(area) / 2.0)
+        d_a = jnp.sqrt((pax - px) ** 2 + (pay - py) ** 2)
+        d_b = jnp.sqrt((pbx - px) ** 2 + (pby - py) ** 2)
+        d_c = jnp.sqrt((pcx - px) ** 2 + (pcy - py) ** 2)
+        min_d = jnp.minimum(jnp.minimum(d_a, d_b), d_c)
+        r = jnp.where(2.5 * min_d < r, jnp.floor(min_d), r)
+        if sup.edge_steps is not None and params.use_edge:
+            lens = np.linalg.norm(support.DIR8, axis=1)
+            e_d = jnp.min(jnp.stack(
+                [sup.edge_steps[d] * float(lens[d]) for d in range(8)]), 0)
+            r = jnp.where(edge_limit & (e_d < r), jnp.floor(e_d), r)
+        if sup.label_runs is not None and params.use_label:
+            lens = np.linalg.norm(support.DIR8, axis=1)
+            runs = jnp.stack(
+                [jnp.where(sup.label_runs[d] > 0,
+                           sup.label_runs[d] * float(lens[d]), BIG)
+                 for d in range(8)])
+            b_d = jnp.min(runs, 0)
+            r = jnp.where(edge_limit & (data.label > 0) & (b_d < r),
+                          jnp.floor(b_d), r)
+        # Round down to a multiple of 5 (DPE.cu:3104).
+        r = 5.0 * jnp.floor(r / 5.0)
+        r_lim = jnp.where(
+            edge_limit,
+            jnp.maximum(r, float(params.strong_radius)),
+            jnp.where(r > params.strong_radius, 0.0,
+                      float(params.strong_radius)),
+        )
+        radius = jnp.where(is_weak & has_best & must_tri, r_lim, radius)
+
+    return {"fit_plane": fit_plane, "radius": radius}
+
+
+def propagate_weak(key, data: SweepData, sup, state: PMState,
+                   params: PatchMatchParams, it: int):
+    """Weak-pixel checkerboard propagation (``CheckerboardPropagationWeak``,
+    DPE.cu:1668-1862). Dense proposal; caller masks."""
+    from ..engine import patchmatch as pm
+
+    H, W = data.ref_image.shape
+    px, py = geo.pixel_grid(H, W)
+    nview = data.num_src
+    k_sel, k_ref = jax.random.split(key)
+    geom = params.geom_consistency
+
+    anchors = sup.neighbours
+    flags, cand_planes, cost_rows = [], [], []
+    prior = jnp.zeros((nview, H, W), jnp.float32)
+    for k in range(8):
+        a_x = anchors[k, ..., 0]
+        a_y = anchors[k, ..., 1]
+        a_valid = a_x >= 0
+        a_weak = sampling.gather_map(state.weak, a_y, a_x)
+        flag = a_valid & (a_weak == STRONG)
+        p_k = sampling.gather_map(state.plane, a_y, a_x)
+        c_k = deformable_cost_vector(data, sup, state, p_k, params)
+        flags.append(flag)
+        cand_planes.append(p_k)
+        cost_rows.append(jnp.where(flag[None], c_k, 0.0))
+        # Priors from all non-(-1) anchors (DPE.cu:1717-1730).
+        a_sel = sampling.gather_map(state.selected, a_y, a_x)
+        bits = ((a_sel[None] >> jnp.arange(nview, dtype=jnp.uint32)
+                 [:, None, None]) & 1) == 1
+        prior = prior + jnp.where(a_valid[None],
+                                  jnp.where(bits, 0.9, 0.1), 0.0)
+
+    cost_array = jnp.stack(cost_rows)               # (8, V, H, W)
+    view_weight, temp_selected, weight_norm = pm.view_selection(
+        k_sel, cost_array, prior, data.view_valid, it)
+    wsum = jnp.maximum(weight_norm, 1e-30)
+
+    if geom:
+        geom_rows = []
+        for k in range(8):
+            g_k = _geom_vec(data, cand_planes[k])
+            g_k = jnp.where(flags[k][None], g_k, GEOM_COST_MAX)
+            geom_rows.append(g_k)
+        cost_array = cost_array + params.geom_factor * jnp.stack(geom_rows)
+
+    final_costs = jnp.sum(view_weight[None] * cost_array, axis=1) / wsum[None]
+
+    min_idx = jnp.argmin(final_costs, axis=0)
+    flag_stack = jnp.stack(flags)
+    min_flag = jnp.take_along_axis(flag_stack, min_idx[None], 0)[0]
+    min_cost = jnp.take_along_axis(final_costs, min_idx[None], 0)[0]
+    plane_stack = jnp.stack(cand_planes)
+    min_plane = jnp.take_along_axis(plane_stack, min_idx[None, ..., None], 0)[0]
+
+    cost_now_vec = deformable_cost_vector(data, sup, state, state.plane, params)
+    if geom:
+        cost_now_vec = cost_now_vec + params.geom_factor * _geom_vec(
+            data, state.plane)
+    cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum
+    cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
+    stored_cost = cost_now
+
+    depth_now = geo.depth_from_plane(data.ref_cam, state.plane, px, py)
+    depth_before = geo.depth_from_plane(data.ref_cam, min_plane, px, py)
+    accept = min_flag & (depth_before >= data.depth_min) & \
+        (depth_before <= data.depth_max) & (min_cost < cost_now)
+
+    plane = jnp.where(accept[..., None], min_plane, state.plane)
+    depth = jnp.where(accept, depth_before, depth_now)
+    cost = jnp.where(accept, min_cost, cost_now)
+    selected = jnp.where(accept, temp_selected, state.selected)
+
+    # Refinement (PlaneHypothesisRefinementWeak, DPE.cu:1120-1212).
+    def eval_weighted(cand):
+        c = deformable_cost_vector(data, sup, state, cand, params)
+        if geom:
+            c = c + params.geom_factor * _geom_vec(data, cand)
+        return jnp.sum(view_weight * c, axis=0) / wsum
+
+    fit = sup.fit_plane
+    fit_nonzero = jnp.any(fit[..., :3] != 0.0, axis=-1)
+    c_fit = eval_weighted(fit)
+    d_fit = geo.depth_from_plane(data.ref_cam, fit, px, py)
+    ok = fit_nonzero & (d_fit >= data.depth_min) & (d_fit <= data.depth_max) & \
+        (c_fit < cost) & (weight_norm > 0)
+    plane = jnp.where(ok[..., None], fit, plane)
+    depth = jnp.where(ok, d_fit, depth)
+    cost = jnp.where(ok, c_fit, cost)
+
+    k1, k2, k3, k4 = jax.random.split(k_ref, 4)
+    depth_rand = jax.random.uniform(k1, (H, W), minval=data.depth_min,
+                                    maxval=data.depth_max)
+    n_rand = planegen.random_normal_facing(k2, data.ref_cam, px, py, depth)
+    depth_pert = jax.random.uniform(k3, (H, W), minval=0.98 * depth,
+                                    maxval=1.02 * depth)
+    n_pert = planegen.perturbed_normal(k4, data.ref_cam, px, py,
+                                       plane[..., :3], 0.02 * np.pi)
+    n_cur = plane[..., :3]
+    for d_i, n_i in [(depth_rand, n_cur), (depth, n_rand), (depth_rand, n_rand),
+                     (depth, n_pert), (depth_pert, n_cur)]:
+        cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
+        c = eval_weighted(cand)
+        d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
+        ok = (d_chk >= data.depth_min) & (d_chk <= data.depth_max) & \
+            (c < cost) & (weight_norm > 0)
+        plane = jnp.where(ok[..., None], cand, plane)
+        depth = jnp.where(ok, d_chk, depth)
+        cost = jnp.where(ok, c, cost)
+
+    if params.state == RunState.REFINE_INIT:
+        accept_final = cost < stored_cost - 0.1
+        plane = jnp.where(accept_final[..., None], plane, state.plane)
+
+    # Re-express the stored cost with the standard strong NCC so weak and
+    # strong costs are comparable during propagation (DPE.cu:1845-1861).
+    offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
+    final_vec = pm.ncc_cost_vector(data, plane, offs)
+    final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
+    final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
+
+    return plane, final_cost, selected, view_weight

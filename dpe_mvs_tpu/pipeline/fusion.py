@@ -1,0 +1,175 @@
+"""Cross-view depth-map fusion to a point cloud (``RunFusion`` ETH variant,
+DPE.cpp:1220-1370).
+
+TPU-native restructuring: the reference's per-pixel sequential loop becomes a
+vectorized consistency vote per reference view — every pixel is projected into
+all source views at once, gathers the source depth/normal, and accumulates the
+dynamic consistency score:
+
+    consistent if reproj_err < 2px AND rel_depth_diff < 0.01 AND angle < 10°
+    score = sum exp(-(err + 200*dd + 10*angle)) must exceed
+            0.45*n (weak) / 0.3*n (strong)
+
+The reference also masks out every *used* source pixel while scanning
+sequentially (DPE.cpp:1299, 1353); we apply the mask between reference views
+(scatter after each view) — suppression of duplicates discovered within the
+same reference view is coarser, which can only add points, never drop them.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PixelState
+from ..geometry import cameras as geo
+from ..io import formats, scene
+
+
+def _camera_of(c: scene.CameraData) -> geo.Camera:
+    return geo.Camera(K=jnp.asarray(c.K), R=jnp.asarray(c.R), t=jnp.asarray(c.t))
+
+
+@jax.jit
+def _fuse_view(ref_cam_arrs, src_cam_arrs, ref_depth, ref_normal, ref_weak,
+               ref_mask, src_depths, src_normals, src_masks):
+    """Consistency vote of one reference view against its V source views.
+
+    Returns (accept (H, W) bool, world points (H, W, 3), used (V, H, W) bool,
+    used_x, used_y (V, H, W) int32)."""
+    ref_cam = geo.Camera(*ref_cam_arrs)
+    H, W = ref_depth.shape
+    px, py = geo.pixel_grid(H, W)
+    Xw = geo.backproject_to_world(ref_cam, px, py, ref_depth)
+
+    def per_src(xs):
+        K, R, t, s_depth, s_normal, s_mask = xs
+        cam = geo.Camera(K=K, R=R, t=t)
+        sx, sy, _ = geo.project_to_camera(cam, Xw)
+        sxi = jnp.round(sx).astype(jnp.int32)
+        syi = jnp.round(sy).astype(jnp.int32)
+        inb = (sxi >= 0) & (sxi < W) & (syi >= 0) & (syi < H)
+        lin = jnp.clip(syi, 0, H - 1) * W + jnp.clip(sxi, 0, W - 1)
+        d_src = jnp.take(s_depth.reshape(-1), lin)
+        n_src = jnp.take(s_normal.reshape(-1, 3), lin, axis=0)
+        m_src = jnp.take(s_mask.reshape(-1), lin)
+        X_src = geo.backproject_to_world(
+            cam, sxi.astype(jnp.float32), syi.astype(jnp.float32), d_src)
+        bx, by, proj_d = geo.project_to_camera(ref_cam, X_src)
+        err = jnp.sqrt((px - bx) ** 2 + (py - by) ** 2)
+        dd = jnp.abs(proj_d - ref_depth) / jnp.maximum(ref_depth, 1e-30)
+        cosang = jnp.clip(jnp.sum(ref_normal * n_src, -1), -1.0, 1.0)
+        ang = jnp.arccos(cosang)
+        ang = jnp.where(jnp.isnan(ang), 0.0, ang)
+        ok = inb & (~m_src) & (d_src > 0) & (err < 2.0) & (dd < 0.01) & \
+            (ang < 0.174533)
+        score = jnp.where(ok, jnp.exp(-(err + 200.0 * dd + 10.0 * ang)), 0.0)
+        return ok, score, sxi, syi
+
+    oks, scores, sxs, sys_ = jax.vmap(per_src)(
+        (src_cam_arrs[0], src_cam_arrs[1], src_cam_arrs[2],
+         src_depths, src_normals, src_masks))
+
+    num_consistent = jnp.sum(oks, axis=0)
+    total = jnp.sum(scores, axis=0)
+    factor = jnp.where(ref_weak == int(PixelState.WEAK), 0.45, 0.3)
+    accept = (~ref_mask) & (ref_depth > 0) & (num_consistent >= 1) & \
+        (total > factor * num_consistent)
+    used = oks & accept[None]
+    return accept, Xw, num_consistent, used, sxs, sys_
+
+
+def run_fusion(dense_folder, problems: List[scene.Problem],
+               verbose: bool = False) -> Path:
+    dense_folder = Path(dense_folder)
+    n = len(problems)
+    id_to_idx = {p.ref_image_id: i for i, p in enumerate(problems)}
+
+    depths, normals, weaks, images, cams, masks = [], [], [], [], [], []
+    block_dir = dense_folder / "blocks"
+    blocks = []
+    for p in problems:
+        rf = p.result_folder
+        d = formats.read_dmb(rf / "depths.dmb").astype(np.float32)
+        nm = formats.read_dmb(rf / "normals.dmb").astype(np.float32)
+        w = formats.read_dmb(rf / "weak.bin").astype(np.uint8)
+        img = scene.load_image_color(p.dense_folder, p.ref_image_id)
+        cam = scene.load_camera(p.dense_folder, p.ref_image_id)
+        H, W = d.shape
+        if img.shape[:2] != (H, W):
+            sx = W / img.shape[1]
+            sy = H / img.shape[0]
+            img = scene.resize_linear(img, W, H)
+            cam = cam.scaled(sx, sy, W, H)
+        if w.shape != (H, W):
+            w = scene.rescale_nearest(w, W, H)
+        depths.append(d)
+        normals.append(nm)
+        weaks.append(w)
+        images.append(img)
+        cams.append(cam)
+        masks.append(np.zeros((H, W), bool))
+        bp = block_dir / f"mask_{p.ref_image_id}.jpg"
+        if bp.exists():
+            import cv2
+            b = cv2.imread(str(bp), cv2.IMREAD_GRAYSCALE)
+            b = scene.resize_linear(b, W, H) if b.shape != (H, W) else b
+            blocks.append(b < 128)  # True = blocked (sky mask)
+        else:
+            blocks.append(None)
+
+    pts_out = []
+    col_out = []
+    for i, p in enumerate(problems):
+        if verbose:
+            print(f"  fusing image {p.ref_image_id:08d}")
+        src_idx = [id_to_idx[s] for s in p.src_image_ids if s in id_to_idx]
+        if not src_idx:
+            continue
+        ref_cam = _camera_of(cams[i])
+        src_K = jnp.asarray(np.stack([cams[j].K for j in src_idx]))
+        src_R = jnp.asarray(np.stack([cams[j].R for j in src_idx]))
+        src_t = jnp.asarray(np.stack([cams[j].t for j in src_idx]))
+        ref_mask = masks[i].copy()
+        if blocks[i] is not None:
+            ref_mask |= blocks[i]
+
+        accept, Xw, num_c, used, sxs, sys_ = _fuse_view(
+            (ref_cam.K, ref_cam.R, ref_cam.t),
+            (src_K, src_R, src_t),
+            jnp.asarray(depths[i]), jnp.asarray(normals[i]),
+            jnp.asarray(weaks[i]), jnp.asarray(ref_mask),
+            jnp.asarray(np.stack([depths[j] for j in src_idx])),
+            jnp.asarray(np.stack([normals[j] for j in src_idx])),
+            jnp.asarray(np.stack([masks[j] for j in src_idx])),
+        )
+        accept = np.asarray(accept)
+        Xw = np.asarray(Xw)
+        num_c = np.asarray(num_c)
+        used = np.asarray(used)
+        sxs = np.asarray(sxs)
+        sys_ = np.asarray(sys_)
+
+        # Color average over ref + used src pixels (DPE.cpp:1348-1362).
+        col = images[i].astype(np.float32).copy()
+        for v, j in enumerate(src_idx):
+            uv = used[v] & accept
+            col[uv] += images[j][sys_[v][uv], sxs[v][uv]].astype(np.float32)
+            # Mark used src pixels (DPE.cpp:1353).
+            masks[j][sys_[v][uv], sxs[v][uv]] = True
+        col[accept] /= (num_c[accept] + 1)[:, None]
+
+        pts_out.append(Xw[accept])
+        col_out.append(col[accept].astype(np.uint8))
+
+    pts = np.concatenate(pts_out, axis=0) if pts_out else np.zeros((0, 3), np.float32)
+    cols = np.concatenate(col_out, axis=0) if col_out else np.zeros((0, 3), np.uint8)
+    out_path = dense_folder / "DPE" / "DPE.ply"
+    out_path.parent.mkdir(exist_ok=True)
+    formats.write_ply(out_path, pts, cols)
+    if verbose:
+        print(f"  fused point cloud: {pts.shape[0]} points -> {out_path}")
+    return out_path

@@ -1,0 +1,249 @@
+"""Coarse-to-fine pipeline driver (``RunDPEPipeline``, main.cpp:474-600).
+
+Schedule per resolution round i (scale = 2^(rounds-1-i)):
+  pass A  — photometric: FIRST_INIT (round 0) or REFINE_INIT;
+  pass B  — 3x geometric-consistency REFINE_ITER sweeps.
+
+Like the reference, all inter-sweep state lives on disk under
+``<dense>/DPE/<%08d>/`` (depths.dmb / normals.dmb / weak.bin /
+selected_views.bin), which makes every sweep resumable (SURVEY.md §5
+"checkpoint/resume"); unlike the reference, the per-scale edge maps and the
+compiled sweep are cached in memory across problems too.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import jax
+import numpy as np
+
+from .. import config
+from ..config import EngineConfig, PatchMatchParams, PixelState, RunState
+from ..edges import dual_level
+from ..engine import state as state_mod
+from ..engine.sweep import run_sweep_jit
+from ..io import formats, scene
+
+
+def compute_round_num(problems: List[scene.Problem], cfg: EngineConfig) -> int:
+    img = scene.load_image_gray(problems[0].dense_folder,
+                                problems[0].ref_image_id)
+    return config.compute_round_num(img.shape[1], img.shape[0], cfg)
+
+
+def get_problem_edges(problem: scene.Problem, scale_size: int,
+                      params: PatchMatchParams) -> None:
+    """Compute + cache per-scale edge/label maps (``GetProblemEdges``,
+    main.cpp:331-388)."""
+    scale = 0
+    while (1 << scale) < scale_size:
+        scale += 1
+    rf = problem.result_folder
+    img = scene.load_image_gray(problem.dense_folder, problem.ref_image_id)
+
+    edge_path = rf / f"edges_{scale}.dmb"
+    if not edge_path.exists():
+        new_cols, new_rows = scene.scaled_size(img.shape[1], img.shape[0],
+                                               scale_size)
+        scaled = scene.resize_linear(img, new_cols, new_rows).astype(np.uint8)
+        edge = dual_level.fine_edges(scaled, params.high_res_img)
+        formats.write_dmb(edge_path, edge)
+
+    label_path = rf / f"labels_{scale}.dmb"
+    if not label_path.exists():
+        label = dual_level.coarse_labels(img.astype(np.uint8), scale,
+                                         params.high_res_img)
+        formats.write_dmb(label_path, label)
+
+
+def load_support_maps(problem: scene.Problem, scale_size: int, max_scale: int,
+                      params: PatchMatchParams, width: int, height: int):
+    """Read cached edge/label maps for the current round
+    (``SupportInitialization``, DPE.cpp:1025-1052)."""
+    scale = 0
+    while (1 << scale) < scale_size:
+        scale += 1
+    rf = problem.result_folder
+    edge = formats.read_dmb(rf / f"edges_{scale}.dmb") > 0
+    low_scale = max_scale if params.high_res_img else scale
+    edge_low = formats.read_dmb(rf / f"edges_{low_scale}.dmb") > 0
+    label = formats.read_dmb(rf / f"labels_{scale}.dmb").astype(np.int32)
+    if edge.shape != (height, width):
+        edge = scene.rescale_nearest(edge, width, height)
+    if label.shape != (height, width):
+        label = scene.rescale_nearest(label, width, height)
+    return edge, edge_low, label
+
+
+def process_problem(problem: scene.Problem, params: PatchMatchParams,
+                    scale_size: int, max_scale: int, v_pad: int,
+                    cfg: EngineConfig, verbose: bool = False) -> None:
+    """One sweep over one problem (``ProcessProblem``, main.cpp:411-472)."""
+    t0 = time.time()
+    inputs = scene.load_problem_inputs(
+        problem, scale_size,
+        need_prior=params.state != RunState.FIRST_INIT,
+        need_weak=params.use_APD,
+        need_src_depths=params.geom_consistency,
+    )
+    edge, edge_low, label = load_support_maps(
+        problem, scale_size, max_scale, params, inputs.width, inputs.height)
+    data = state_mod.build_sweep_data(inputs, v_pad, edge, edge_low, label)
+    key = jax.random.key(
+        cfg.seed + problem.ref_image_id * 1000 + problem.iteration)
+    st = state_mod.init_pm_state(inputs, v_pad, key, params.use_APD)
+
+    st = run_sweep_jit(data, st, params)
+
+    plane = np.asarray(st.plane)
+    depth = plane[..., 3].copy()
+    normal = plane[..., :3].copy()
+    weak = np.asarray(st.weak).copy()
+    out_of_range = (depth < inputs.depth_min) | (depth > inputs.depth_max) | \
+        ~np.isfinite(depth)
+    depth[out_of_range] = 0.0
+    weak[out_of_range] = int(PixelState.UNKNOWN)
+
+    rf = problem.result_folder
+    formats.write_dmb(rf / "depths.dmb", depth.astype(np.float32))
+    formats.write_dmb(rf / "normals.dmb", normal.astype(np.float32))
+    formats.write_dmb(rf / "weak.bin", weak.astype(np.uint8))
+    formats.write_dmb(rf / "selected_views.bin",
+                      np.asarray(st.selected).astype(np.int32))
+
+    if problem.show_medium_result:
+        from ..utils import viz
+        it = problem.iteration
+        viz.save_depth_map(rf / f"depth_{it}.jpg", depth,
+                           inputs.depth_min, inputs.depth_max)
+        viz.save_normal_map(rf / f"normal_{it}.jpg", normal)
+        viz.save_weak_map(rf / f"weak_{it}.jpg", weak)
+    if verbose:
+        print(f"  image {problem.ref_image_id:08d} iter {problem.iteration} "
+              f"({inputs.width}x{inputs.height}) done in "
+              f"{time.time() - t0:.2f}s")
+
+
+def export_npy(problem: scene.Problem, *, depth: bool, normal: bool,
+               weak: bool, edge: bool) -> None:
+    """Final .npy exports (main.cpp:99-260)."""
+    rf = problem.result_folder
+    if depth:
+        d = formats.read_dmb(rf / "depths.dmb").astype(np.float32)
+        w = formats.read_dmb(rf / "weak.bin")
+        d[w == int(PixelState.UNKNOWN)] = 0.0
+        np.save(rf / "depth.npy", d)
+        (rf / "depth.npy").with_suffix("")  # no-op; np.save appends .npy
+    if normal:
+        n = formats.read_dmb(rf / "normals.dmb").astype(np.float32)
+        np.save(rf / "normal.npy", n)
+    if weak:
+        w = formats.read_dmb(rf / "weak.bin")
+        enc = np.zeros(w.shape, np.int8)
+        enc[w == int(PixelState.WEAK)] = 1
+        enc[w == int(PixelState.STRONG)] = 2
+        np.save(rf / "weak.npy", enc)
+    if edge:
+        for idx in range(8):
+            p = rf / f"edges_{idx}.dmb"
+            if p.exists():
+                e = (formats.read_dmb(p) > 0).astype(np.int8)
+                np.save(rf / "edge.npy", e)
+                break
+
+
+def cleanup_intermediates(problems: List[scene.Problem], round_num: int) -> None:
+    """Delete intermediate state files (main.cpp:581-595)."""
+    for p in problems:
+        rf = p.result_folder
+        for name in ("weak.bin", "depths.dmb", "normals.dmb",
+                     "selected_views.bin"):
+            (rf / name).unlink(missing_ok=True)
+        for j in range(round_num):
+            (rf / f"edges_{j}.dmb").unlink(missing_ok=True)
+            (rf / f"labels_{j}.dmb").unlink(missing_ok=True)
+
+
+def run_pipeline(
+    dense_folder,
+    *,
+    verbose: bool = True,
+    fusion: bool = False,
+    viz: bool = False,
+    depth: bool = True,
+    normal: bool = False,
+    weak: bool = False,
+    edge: bool = False,
+    cfg: Optional[EngineConfig] = None,
+    keep_intermediates: bool = False,
+) -> int:
+    """Full pipeline (``RunDPEPipeline``, main.cpp:474-600). Returns 0 on
+    success."""
+    cfg = cfg or EngineConfig()
+    dense_folder = Path(dense_folder)
+    (dense_folder / "DPE").mkdir(parents=True, exist_ok=True)
+
+    problems = scene.generate_sample_list(dense_folder, viz)
+    if not scene.check_images(problems):
+        print("Images may error, check it!")
+        return 1
+    if verbose:
+        print(f"There are {len(problems)} images to be processed!")
+
+    round_num = compute_round_num(problems, cfg)
+    base = cfg.profile.apply(PatchMatchParams())
+    v_pad = max(min(len(p.src_image_ids), cfg.max_images - 1)
+                for p in problems)
+    v_pad = max(v_pad, 1)
+
+    # Precompute edges for every scale (main.cpp:494-501).
+    max_scale_size = 1
+    for i in range(round_num):
+        scale_size = 2 ** (round_num - 1 - i)
+        max_scale_size = max(max_scale_size, scale_size)
+        for p in problems:
+            get_problem_edges(p, scale_size, base)
+    max_scale = 0
+    while (1 << max_scale) < max_scale_size:
+        max_scale += 1
+
+    if verbose:
+        print(f"There are {round_num} resolution stages, "
+              f"{round_num * 4} iterations")
+
+    iteration = 0
+    for i in range(round_num):
+        scale_size = 2 ** (round_num - 1 - i)
+        params = config.schedule_params(base, i, None)
+        for p in problems:
+            p.iteration = iteration
+            process_problem(p, params, scale_size, max_scale, v_pad, cfg,
+                            verbose)
+        if verbose:
+            print(f"Iteration {iteration + 1} / {round_num * 4} done")
+        iteration += 1
+        for j in range(3):
+            params = config.schedule_params(base, i, j)
+            for p in problems:
+                p.iteration = iteration
+                process_problem(p, params, scale_size, max_scale, v_pad, cfg,
+                                verbose)
+            if verbose:
+                print(f"Iteration {iteration + 1} / {round_num * 4} done")
+            iteration += 1
+
+    for p in problems:
+        export_npy(p, depth=depth, normal=normal, weak=weak, edge=edge)
+
+    if fusion:
+        from . import fusion as fusion_mod
+        fusion_mod.run_fusion(dense_folder, problems, verbose=verbose)
+
+    if not keep_intermediates:
+        cleanup_intermediates(problems, round_num)
+    if verbose:
+        print("All done")
+    return 0

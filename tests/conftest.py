@@ -13,6 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import numpy as np  # noqa: E402
+from dpe_mvs_tpu.utils import jaxconfig  # noqa: E402
+jaxconfig.setup()
 import pytest  # noqa: E402
 
 
