@@ -27,6 +27,10 @@ _FOUR_CONN = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.int32)
 def roberts(src: np.ndarray) -> np.ndarray:
     """Roberts cross gradient magnitude; borders forced to (50,50)
     (DPE.cpp:9-25). src: uint8 (H, W). Returns uint8."""
+    from .. import native
+    nat = native.get()
+    if nat is not None:
+        return nat.roberts(np.ascontiguousarray(src, np.uint8))
     s = src.astype(np.int32)
     t1 = np.full(s.shape, 50, np.int32)
     t2 = np.full(s.shape, 50, np.int32)
@@ -40,6 +44,12 @@ def connect(binary: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """4-connected components of the *zero* pixels (``Connect``,
     DPE.cpp:28-134). Returns (label_mask int32 with 0 for edge pixels,
     counts per label including label 0)."""
+    from .. import native
+    nat = native.get()
+    if nat is not None:
+        labels, counts = nat.connected_components(
+            np.ascontiguousarray(binary, np.uint8))
+        return labels, counts
     mask = binary == 0
     labels, n = ndimage.label(mask, structure=_FOUR_CONN)
     counts = np.bincount(labels.ravel(), minlength=n + 1)

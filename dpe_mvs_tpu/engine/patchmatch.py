@@ -281,16 +281,16 @@ def classic_candidates(cost_map: jnp.ndarray):
 
 
 def edge_candidates(cost_map: jnp.ndarray, edge: jnp.ndarray,
-                    edge_steps: jnp.ndarray, it: int):
+                    edge_steps: jnp.ndarray, it):
     """Edge-bounded directional sampling, first pass (DPE.cu:1242-1292):
     per direction, probe along the ray with a reach bounded by the distance
-    to the nearest edge. Returns (flags, dxs, dys)."""
+    to the nearest edge. Returns (flags, dxs, dys). ``it`` may be traced."""
     H, W = cost_map.shape
     xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
     yg = jnp.arange(H, dtype=jnp.int32)[:, None].repeat(W, 1)
     max_edge_dist = max(H, W) / 30.0
     min_step = 2
-    s_mag = max(1, 5 - 2 * it)
+    s_mag = jnp.maximum(1, 5 - 2 * jnp.asarray(it, jnp.int32))
 
     flags, dxs, dys = [], [], []
     for d in range(8):
@@ -313,33 +313,31 @@ def edge_candidates(cost_map: jnp.ndarray, edge: jnp.ndarray,
             else:
                 fy = dy_u
 
-        best_c = jnp.full((H, W), BIG)
-        best_dx = jnp.zeros((H, W), jnp.int32)
-        best_dy = jnp.zeros((H, W), jnp.int32)
-        for t in range(22):
-            pdx = s_mag * dx_u + t * step_len * dx_u + fx
-            pdy = s_mag * dy_u + t * step_len * dy_u + fy
-            tx = xg + pdx
-            ty = yg + pdy
-            ok = (t < step_num) & (tx >= 0) & (ty >= 0) & (tx < W) & (ty < H)
-            c = jnp.where(ok, _gather2d(cost_map, ty, tx), BIG)
-            better = c < best_c
-            best_c = jnp.where(better, c, best_c)
-            best_dx = jnp.where(better, pdx, best_dx)
-            best_dy = jnp.where(better, pdy, best_dy)
+        t = jnp.arange(22, dtype=jnp.int32)[:, None, None]     # (22, 1, 1)
+        pdx = s_mag * dx_u + t * step_len[None] * dx_u + fx    # (22, H, W)
+        pdy = s_mag * dy_u + t * step_len[None] * dy_u + fy
+        tx = xg[None] + pdx
+        ty = yg[None] + pdy
+        ok = (t < step_num[None]) & (tx >= 0) & (ty >= 0) & \
+            (tx < W) & (ty < H)
+        c = jnp.where(ok, _gather2d(cost_map, ty, tx), BIG)
+        best_t = jnp.argmin(c, axis=0)                         # (H, W)
+        best_c = jnp.min(c, axis=0)
+        best_dx = jnp.take_along_axis(pdx, best_t[None], 0)[0]
+        best_dy = jnp.take_along_axis(pdy, best_t[None], 0)[0]
         flags.append(best_c < BIG)
         dxs.append(best_dx)
         dys.append(best_dy)
     return flags, dxs, dys
 
 
-def edge_second_pass_candidates(cost_map: jnp.ndarray, it: int):
+def edge_second_pass_candidates(cost_map: jnp.ndarray, it):
     """Short-range non-local pass for non-edge pixels (DPE.cu:1293-1343):
-    11 probes at fixed step 2. Static offsets -> shifts."""
+    11 probes at fixed step 2."""
     H, W = cost_map.shape
     xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
     yg = jnp.arange(H, dtype=jnp.int32)[:, None].repeat(W, 1)
-    s_mag = max(1, 5 - 2 * it)
+    s_mag = jnp.maximum(1, 5 - 2 * jnp.asarray(it, jnp.int32))
     flags, dxs, dys = [], [], []
     for d in range(8):
         dx_u, dy_u = _EDGE_DIRS[d]
@@ -349,19 +347,19 @@ def edge_second_pass_candidates(cost_map: jnp.ndarray, it: int):
                 fx = dx_u
             else:
                 fy = dy_u
-        best_c = jnp.full((H, W), BIG)
-        best_dx = jnp.zeros((H, W), jnp.int32)
-        best_dy = jnp.zeros((H, W), jnp.int32)
-        for t in range(11):
-            pdx = s_mag * dx_u + t * 2 * dx_u + fx
-            pdy = s_mag * dy_u + t * 2 * dy_u + fy
-            ok = (xg + pdx >= 0) & (yg + pdy >= 0) & \
-                (xg + pdx < W) & (yg + pdy < H)
-            c = jnp.where(ok, sampling.shift(cost_map, pdy, pdx), BIG)
-            better = c < best_c
-            best_c = jnp.where(better, c, best_c)
-            best_dx = jnp.where(better, pdx, best_dx)
-            best_dy = jnp.where(better, pdy, best_dy)
+        t = jnp.arange(11, dtype=jnp.int32)[:, None, None]
+        pdx = (s_mag * dx_u + t * 2 * dx_u + fx) * jnp.ones(
+            (1, H, W), jnp.int32)
+        pdy = (s_mag * dy_u + t * 2 * dy_u + fy) * jnp.ones(
+            (1, H, W), jnp.int32)
+        tx = xg[None] + pdx
+        ty = yg[None] + pdy
+        ok = (tx >= 0) & (ty >= 0) & (tx < W) & (ty < H)
+        c = jnp.where(ok, _gather2d(cost_map, ty, tx), BIG)
+        best_t = jnp.argmin(c, axis=0)
+        best_c = jnp.min(c, axis=0)
+        best_dx = jnp.take_along_axis(pdx, best_t[None], 0)[0]
+        best_dy = jnp.take_along_axis(pdy, best_t[None], 0)[0]
         flags.append(best_c < BIG)
         dxs.append(best_dx)
         dys.append(best_dy)
@@ -374,11 +372,12 @@ def edge_second_pass_candidates(cost_map: jnp.ndarray, it: int):
 
 def view_selection(key, cost_array: jnp.ndarray, prior: jnp.ndarray,
                    valid_view: jnp.ndarray, it):
-    """cost_array: (8, V, H, W); prior: (V, H, W).
+    """cost_array: (8, V, H, W); prior: (V, H, W); ``it`` may be traced.
     Returns (view_weight (V, H, W) i32, selected bitmask (H, W) u32,
     weight_norm (H, W) f32)."""
     nview = cost_array.shape[1]
-    cost_threshold = 0.8 * np.exp(it * it / -90.0)
+    itf = jnp.asarray(it, jnp.float32)
+    cost_threshold = 0.8 * jnp.exp(itf * itf / -90.0)
     good = cost_array < cost_threshold                       # (8, V, H, W)
     bad = cost_array > 1.2
     count = jnp.sum(good, axis=0).astype(jnp.float32)        # (V, H, W)
@@ -388,7 +387,7 @@ def view_selection(key, cost_array: jnp.ndarray, prior: jnp.ndarray,
     probs = jnp.where(
         (count > 2) & (count_false < 3), tmpw / jnp.maximum(count, 1.0),
         jnp.where(count_false < 3,
-                  float(np.exp(cost_threshold * cost_threshold / -0.32)), 0.0),
+                  jnp.exp(cost_threshold * cost_threshold / -0.32), 0.0),
     )
     probs = probs * prior * valid_view[:, None, None]
 
@@ -435,13 +434,12 @@ def neighbour_prior(selected: jnp.ndarray, flags, nview: int) -> jnp.ndarray:
 # Plane refinement (PlaneHypothesisRefinementStrong, DPE.cu:1065-1118)
 # ---------------------------------------------------------------------------
 
-def refine_strong(key, data: SweepData, params: PatchMatchParams,
-                  plane, depth, cost, view_weight, weight_norm):
+def refine_combos(key, data: SweepData, plane, depth):
+    """The 5 {depth, normal} refinement combinations (DPE.cu:1093-1095),
+    stacked for a scan. Returns (depths (5, H, W), normals (5, H, W, 3))."""
     H, W = data.ref_image.shape
     px, py = geo.pixel_grid(H, W)
-    offs = strong_offsets(params)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-
     depth_rand = jax.random.uniform(k1, (H, W), minval=data.depth_min,
                                     maxval=data.depth_max)
     n_rand = planegen.random_normal_facing(k2, data.ref_cam, px, py, depth)
@@ -450,13 +448,22 @@ def refine_strong(key, data: SweepData, params: PatchMatchParams,
     n_pert = planegen.perturbed_normal(k4, data.ref_cam, px, py,
                                        plane[..., :3], 0.02 * np.pi)
     n_cur = plane[..., :3]
+    depths = jnp.stack([depth_rand, depth, depth_rand, depth, depth_pert])
+    normals = jnp.stack([n_cur, n_rand, n_rand, n_pert, n_cur])
+    return depths, normals
 
-    combos = [
-        (depth_rand, n_cur), (depth, n_rand), (depth_rand, n_rand),
-        (depth, n_pert), (depth_pert, n_cur),
-    ]
+
+def refine_strong(key, data: SweepData, params: PatchMatchParams,
+                  plane, depth, cost, view_weight, weight_norm):
+    H, W = data.ref_image.shape
+    px, py = geo.pixel_grid(H, W)
+    offs = strong_offsets(params)
+    depths, normals = refine_combos(key, data, plane, depth)
     wsum = jnp.maximum(weight_norm, 1e-30)
-    for d_i, n_i in combos:
+
+    def body(carry, xs):
+        plane, depth, cost = carry
+        d_i, n_i = xs
         cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
         costs = ncc_cost_vector(data, cand, offs)
         c = jnp.sum(view_weight * costs, axis=0) / wsum
@@ -466,6 +473,10 @@ def refine_strong(key, data: SweepData, params: PatchMatchParams,
         plane = jnp.where(ok[..., None], cand, plane)
         depth = jnp.where(ok, d_chk, depth)
         cost = jnp.where(ok, c, cost)
+        return (plane, depth, cost), None
+
+    (plane, depth, cost), _ = jax.lax.scan(body, (plane, depth, cost),
+                                           (depths, normals))
     return plane, depth, cost
 
 
@@ -489,37 +500,37 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
                                           sup.edge_steps, it)
     else:
         flags, dxs, dys = classic_candidates(state.cost)
+    flags = jnp.stack(flags)                                 # (8, H, W)
+    dxs = jnp.stack(dxs)
+    dys = jnp.stack(dys)
 
-    cost_rows = []
-    cand_planes = []
-    for d in range(8):
-        p_d = _gather2d(state.plane, yg + dys[d], xg + dxs[d])
-        c_d = ncc_cost_vector(data, p_d, offs)
-        # Uncomputed directions keep zeroed rows, as the reference's
-        # uninitialized cost_array does (DPE.cu:1236; border-only effect).
-        cost_rows.append(jnp.where(flags[d][None], c_d, 0.0))
-        cand_planes.append(p_d)
+    cand_planes = _gather2d(state.plane, yg[None] + dys, xg[None] + dxs)
+    cost_array = jax.lax.map(
+        lambda pl: ncc_cost_vector(data, pl, offs), cand_planes)  # (8,V,H,W)
+    # Uncomputed directions keep zeroed rows, as the reference's
+    # uninitialized cost_array does (DPE.cu:1236; border-only effect).
+    cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
     if params.use_edge:
         # Second non-local pass for non-edge pixels (DPE.cu:1293-1343).
-        good_thr = 0.8 * np.exp(it * it / -90.0)
+        itf = jnp.asarray(it, jnp.float32)
+        good_thr = 0.8 * jnp.exp(itf * itf / -90.0)
         f2, dx2, dy2 = edge_second_pass_candidates(state.cost, it)
-        for d in range(8):
-            p2 = _gather2d(state.plane, yg + dy2[d], xg + dx2[d])
-            c2 = ncc_cost_vector(data, p2, offs)
-            good1 = jnp.sum(cost_rows[d] < good_thr, axis=0)
-            bad1 = jnp.sum(cost_rows[d] > 1.2, axis=0)
-            good2 = jnp.sum(jnp.where(f2[d][None], c2, COST_MAX) < good_thr,
-                            axis=0)
-            bad2 = jnp.sum(jnp.where(f2[d][None], c2, COST_MAX) > 1.2, axis=0)
-            replace = f2[d] & (~data.edge) & (
-                (~flags[d]) | (good2 > good1) | ((good2 == good1) & (bad2 < bad1))
-            )
-            cost_rows[d] = jnp.where(replace[None], c2, cost_rows[d])
-            cand_planes[d] = jnp.where(replace[..., None], p2, cand_planes[d])
-            flags[d] = flags[d] | (f2[d] & (~data.edge))
-
-    cost_array = jnp.stack(cost_rows)                        # (8, V, H, W)
+        f2 = jnp.stack(f2)
+        dx2 = jnp.stack(dx2)
+        dy2 = jnp.stack(dy2)
+        p2 = _gather2d(state.plane, yg[None] + dy2, xg[None] + dx2)
+        c2 = jax.lax.map(lambda pl: ncc_cost_vector(data, pl, offs), p2)
+        good1 = jnp.sum(cost_array < good_thr, axis=1)        # (8, H, W)
+        bad1 = jnp.sum(cost_array > 1.2, axis=1)
+        c2m = jnp.where(f2[:, None], c2, COST_MAX)
+        good2 = jnp.sum(c2m < good_thr, axis=1)
+        bad2 = jnp.sum(c2m > 1.2, axis=1)
+        replace = f2 & (~data.edge)[None] & (
+            (~flags) | (good2 > good1) | ((good2 == good1) & (bad2 < bad1)))
+        cost_array = jnp.where(replace[:, None], c2, cost_array)
+        cand_planes = jnp.where(replace[..., None], p2, cand_planes)
+        flags = flags | (f2 & (~data.edge)[None])
 
     prior = neighbour_prior(state.selected, flags, nview)
     view_weight, temp_selected, weight_norm = view_selection(
@@ -529,12 +540,10 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
     final_costs = jnp.sum(view_weight[None] * cost_array, axis=1) / wsum[None]
 
     min_idx = jnp.argmin(final_costs, axis=0)                # (H, W)
-    flag_stack = jnp.stack(flags)                            # (8, H, W)
-    min_flag = jnp.take_along_axis(flag_stack, min_idx[None], axis=0)[0]
+    min_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
     min_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
-    plane_stack = jnp.stack(cand_planes)                     # (8, H, W, 4)
     min_plane = jnp.take_along_axis(
-        plane_stack, min_idx[None, ..., None], axis=0)[0]
+        cand_planes, min_idx[None, ..., None], axis=0)[0]
 
     cost_now_vec = ncc_cost_vector(data, state.plane, offs)
     cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum

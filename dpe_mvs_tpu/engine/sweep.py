@@ -60,7 +60,7 @@ def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
         strong_mask = state.weak == STRONG
         ns_coords, _ns_valid = sup_ops.jfa_nearest(strong_mask, 100.0)
         nearest_strong = ns_coords
-        neighbours, reliable, weak2 = anchors.gen_neighbours(
+        neighbours, reliable, weak2, complexity = anchors.gen_neighbours(
             key, data, state, params,
             edge_steps=edge_steps, complexity=complexity,
             label_runs=label_runs, los=los, nearest_strong=ns_coords)
@@ -86,36 +86,51 @@ def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
 
     state = pm.initialize(data, state, params)
 
-    for it in range(params.max_iterations):
+    base_key = nk()
+
+    def apply_masked(state, mask, plane, cost, selected, view_weight):
+        return state._replace(
+            plane=jnp.where(mask[..., None], plane, state.plane),
+            cost=jnp.where(mask, cost, state.cost),
+            selected=jnp.where(mask, selected, state.selected),
+            view_weight=jnp.where(
+                mask[..., None], jnp.moveaxis(view_weight, 0, -1),
+                state.view_weight),
+        )
+
+    xgrid = jnp.arange(W)[None, :]
+    ygrid = jnp.arange(H)[:, None]
+
+    def iteration_body(state, it):
+        key_it = jax.random.fold_in(base_key, it)
+
         # Strong pixels: black then red (DPE.cu:3199-3202).
-        for color in (0, 1):
-            plane, cost, selected, view_weight = pm.propagate_strong(
-                nk(), data, sup, state, params, it)
-            mask = checkerboard_mask(H, W, color) & (state.weak != WEAK)
-            state = state._replace(
-                plane=jnp.where(mask[..., None], plane, state.plane),
-                cost=jnp.where(mask, cost, state.cost),
-                selected=jnp.where(mask, selected, state.selected),
-                view_weight=jnp.where(
-                    mask[..., None], jnp.moveaxis(view_weight, 0, -1),
-                    state.view_weight),
-            )
+        def strong_color(state, color):
+            out = pm.propagate_strong(
+                jax.random.fold_in(key_it, color), data, sup, state, params,
+                it)
+            mask = (((xgrid + ygrid) % 2) == color) & (state.weak != WEAK)
+            return apply_masked(state, mask, *out), None
+
+        state, _ = jax.lax.scan(strong_color, state, jnp.arange(2))
+
         if params.use_APD:
             from ..ops import weak as weak_ops
-            sup = sup._replace(
-                **weak_ops.fit_plane_ransac(nk(), data, sup, state, params))
-            for color in (0, 1):
-                plane, cost, selected, view_weight = weak_ops.propagate_weak(
-                    nk(), data, sup, state, params, it)
-                mask = checkerboard_mask(H, W, color) & (state.weak == WEAK)
-                state = state._replace(
-                    plane=jnp.where(mask[..., None], plane, state.plane),
-                    cost=jnp.where(mask, cost, state.cost),
-                    selected=jnp.where(mask, selected, state.selected),
-                    view_weight=jnp.where(
-                        mask[..., None], jnp.moveaxis(view_weight, 0, -1),
-                        state.view_weight),
-                )
+            sup_it = sup._replace(**weak_ops.fit_plane_ransac(
+                jax.random.fold_in(key_it, 2), data, sup, state, params))
+
+            def weak_color(state, color):
+                out = weak_ops.propagate_weak(
+                    jax.random.fold_in(key_it, 3 + color), data, sup_it,
+                    state, params, it)
+                mask = (((xgrid + ygrid) % 2) == color) & (state.weak == WEAK)
+                return apply_masked(state, mask, *out), None
+
+            state, _ = jax.lax.scan(weak_color, state, jnp.arange(2))
+        return state, None
+
+    state, _ = jax.lax.scan(iteration_body, state,
+                            jnp.arange(params.max_iterations))
 
     # Plane -> (world normal, depth) (DPE.cu:3214).
     state = state._replace(plane=pm.to_world_depth(data, state.plane))

@@ -151,6 +151,11 @@ def write_ply(path: os.PathLike, points: np.ndarray, colors_bgr: np.ndarray) -> 
     uchar diffuse_blue/green/red (ExportPointCloud, DPE.cpp:532-572)."""
     points = np.ascontiguousarray(points, np.float32)
     colors_bgr = np.ascontiguousarray(colors_bgr, np.uint8)
+    from .. import native
+    nat = native.get()
+    if nat is not None:
+        nat.write_ply(str(path), points, colors_bgr)
+        return
     n = points.shape[0]
     header = (
         "ply\n"

@@ -110,82 +110,96 @@ def gen_neighbours(
     strong = state.weak == STRONG
     strong_d = _dilate(strong, 1)
 
-    # Per-pixel edge_limit (DPE.cu:2155-2164).
-    edge_limit_all = params.use_limit
+    # Per-pixel edge_limit (DPE.cu:2155-2164). Pixels that keep the limit
+    # bump their complexity to >= 0.99 (DPE.cu:2162), which effectively
+    # disables the limit for them in the later fit-plane RANSAC redraw.
+    new_complexity = complexity
     if params.use_limit and params.use_edge:
         u = jax.random.uniform(k_lim, (H, W))
         edge_limit = u >= complexity
+        is_weak_px = state.weak == WEAK
+        new_complexity = jnp.where(
+            is_weak_px & edge_limit, jnp.maximum(0.99, complexity), complexity)
     else:
-        edge_limit = jnp.full((H, W), bool(edge_limit_all))
+        edge_limit = jnp.full((H, W), bool(params.use_limit))
 
-    rays = sector_rays(rt)
+    rays = sector_rays(rt)                                    # (D, 2)
     max_steps_pow2 = 1 << int(math.ceil(math.log2(
         min(MAX_SEARCH_RADIUS, max(H, W)))))
 
-    pool_x, pool_y, pool_valid = [], [], []
-    for i in range(n_dirs):
-        vx, vy = int(rays[i, 0]), int(rays[i, 1])
-        vlen = math.hypot(vx, vy)
-        t_hit = support.ray_first_hit(strong_d, vx, vy,
-                                      max(2, int(max_steps_pow2 / vlen)))
-        hit = t_hit < support.INF
-        t = jnp.where(hit, t_hit, 1.0).astype(jnp.int32)
-        hx = xg + t * vx
-        hy = yg + t * vy
-        anc = sampling.gather_map(nearest_strong, hy, hx)     # (H, W, 2)
-        ax = anc[..., 0]
-        ay = anc[..., 1]
-        ok = hit & (ax >= 0)
-        # Margin (DPE.cu:2187).
-        ok = ok & (ax >= MIN_MARGIN) & (ay >= MIN_MARGIN) & \
-            (ax < W - MIN_MARGIN) & (ay < H - MIN_MARGIN)
-        # Cone-angle acceptance (DPE.cu:2198-2201).
-        dxf = (ax - xg).astype(jnp.float32)
-        dyf = (ay - yg).astype(jnp.float32)
-        norm = jnp.sqrt(dxf * dxf + dyf * dyf)
-        cosang = (dxf * vx + dyf * vy) / (jnp.maximum(norm, 1e-6) * vlen)
-        ok = ok & (cosang > cos_thresh)
-        # Edge limit: line of sight must not cross an edge (DPE.cu:2201).
-        cross = los.crossing(px, py, ax.astype(jnp.float32),
-                             ay.astype(jnp.float32), data.edge)
-        ok = ok & (~(edge_limit & cross))
-        pool_x.append(ax)
-        pool_y.append(ay)
-        pool_valid.append(ok)
+    # --- Sector rays, all directions at once ---------------------------------
+    vlen = np.hypot(rays[:, 0], rays[:, 1]).astype(np.float32)  # (D,)
+    t_hit = support.ray_first_hit_multi(strong_d, rays, max_steps_pow2)
+    hit = t_hit < support.INF                                   # (D, H, W)
+    vxj = jnp.asarray(rays[:, 0], jnp.int32)[:, None, None]
+    vyj = jnp.asarray(rays[:, 1], jnp.int32)[:, None, None]
+    t = jnp.where(hit, t_hit, 1.0).astype(jnp.int32)
+    hx = xg[None] + t * vxj
+    hy = yg[None] + t * vyj
+    anc = sampling.gather_map(nearest_strong, hy, hx)           # (D, H, W, 2)
+    ax = anc[..., 0]
+    ay = anc[..., 1]
+    ok = hit & (ax >= 0)
+    # Margin (DPE.cu:2187).
+    ok = ok & (ax >= MIN_MARGIN) & (ay >= MIN_MARGIN) & \
+        (ax < W - MIN_MARGIN) & (ay < H - MIN_MARGIN)
+    # Cone-angle acceptance (DPE.cu:2198-2201).
+    dxf = (ax - xg[None]).astype(jnp.float32)
+    dyf = (ay - yg[None]).astype(jnp.float32)
+    norm = jnp.sqrt(dxf * dxf + dyf * dyf)
+    cosang = (dxf * vxj + dyf * vyj) / (
+        jnp.maximum(norm, 1e-6) * jnp.asarray(vlen)[:, None, None])
+    ok = ok & (cosang > cos_thresh)
+    # Edge limit: line of sight must not cross an edge (DPE.cu:2201).
+    cross = los.crossing(px[None], py[None], ax.astype(jnp.float32),
+                         ay.astype(jnp.float32), data.edge)
+    ok = ok & (~(edge_limit[None] & cross))
+    pool_x = [ax]
+    pool_y = [ay]
+    pool_valid = [ok]
 
-    # Label-region extension (DPE.cu:2224-2272).
+    # --- Label-region extension, all points at once (DPE.cu:2224-2272) ------
     if params.use_label:
-        label_pos = data.label > 0
+        # Effective reference behaviour of the MIN/MAX'd step split
+        # (DPE.cu:2239-2245): even dirs get 2*rt-1 points, odd get 1.
+        pt_dir, pt_s = [], []
         for d in range(8):
-            run = label_runs[d]                                # steps
-            dist = run
-            dx_u, dy_u = int(support.DIR8[d, 0]), int(support.DIR8[d, 1])
-            opp = d - 1 if d % 2 == 1 else d + 1
-            # Effective reference behaviour of the MIN/MAX'd step split
-            # (DPE.cu:2239-2245): even dirs get 2*rt-1 points, odd get 1.
             n_pts = (2 * rt - 1) if d % 2 == 0 else 1
-            gap_num = n_pts + 1
-            step_len = jnp.maximum(
-                1, (dist / gap_num).astype(jnp.int32))
             for s in range(1, n_pts + 1):
-                tx = xg + s * step_len * dx_u
-                ty = yg + s * step_len * dy_u
-                anc = sampling.gather_map(nearest_strong, ty, tx)
-                ax = anc[..., 0]
-                ay = anc[..., 1]
-                ok = label_pos & (dist > 0) & (ax >= 0)
-                ok = ok & (ax >= MIN_MARGIN) & (ay >= MIN_MARGIN) & \
-                    (ax < W - MIN_MARGIN) & (ay < H - MIN_MARGIN)
-                lab_at = sampling.gather_map(data.label, ay, ax)
-                ok = ok & ((lab_at == 0) | (lab_at == data.label))
-                pool_x.append(ax)
-                pool_y.append(ay)
-                pool_valid.append(ok)
+                pt_dir.append(d)
+                pt_s.append(s)
+        pt_dir = np.array(pt_dir, np.int32)                     # (P2,)
+        pt_s = np.array(pt_s, np.int32)
+        n_pts_per_dir = np.array([(2 * rt - 1) if d % 2 == 0 else 1
+                                  for d in range(8)], np.int32)
 
-    P = len(pool_x)
-    pool_x = jnp.stack(pool_x, axis=-1)        # (H, W, P)
-    pool_y = jnp.stack(pool_y, axis=-1)
-    pool_valid = jnp.stack(pool_valid, axis=-1)
+        dist = label_runs                                       # (8, H, W)
+        gap = jnp.asarray(n_pts_per_dir + 1, jnp.float32)[:, None, None]
+        step_len = jnp.maximum(1, (dist / gap).astype(jnp.int32))
+
+        sl = step_len[pt_dir]                                   # (P2, H, W)
+        ddx = jnp.asarray(support.DIR8[pt_dir, 0], jnp.int32)[:, None, None]
+        ddy = jnp.asarray(support.DIR8[pt_dir, 1], jnp.int32)[:, None, None]
+        sj = jnp.asarray(pt_s, jnp.int32)[:, None, None]
+        tx = xg[None] + sj * sl * ddx
+        ty = yg[None] + sj * sl * ddy
+        anc2 = sampling.gather_map(nearest_strong, ty, tx)      # (P2, H, W, 2)
+        ax2 = anc2[..., 0]
+        ay2 = anc2[..., 1]
+        label_pos = data.label > 0
+        ok2 = label_pos[None] & (dist[pt_dir] > 0) & (ax2 >= 0)
+        ok2 = ok2 & (ax2 >= MIN_MARGIN) & (ay2 >= MIN_MARGIN) & \
+            (ax2 < W - MIN_MARGIN) & (ay2 < H - MIN_MARGIN)
+        lab_at = sampling.gather_map(data.label, ay2, ax2)
+        ok2 = ok2 & ((lab_at == 0) | (lab_at == data.label[None]))
+        pool_x.append(ax2)
+        pool_y.append(ay2)
+        pool_valid.append(ok2)
+
+    pool_x = jnp.moveaxis(jnp.concatenate(pool_x, axis=0), 0, -1)  # (H, W, P)
+    pool_y = jnp.moveaxis(jnp.concatenate(pool_y, axis=0), 0, -1)
+    pool_valid = jnp.moveaxis(jnp.concatenate(pool_valid, axis=0), 0, -1)
+    P = pool_x.shape[-1]
 
     pool_size = jnp.sum(pool_valid, axis=-1)
 
@@ -353,4 +367,4 @@ def gen_neighbours(
     )                                                          # (8, H, W, 2)
 
     new_weak = jnp.where(is_weak & ~reliable, jnp.uint8(UNKNOWN), state.weak)
-    return neighbours, reliable, new_weak
+    return neighbours, reliable, new_weak, new_complexity

@@ -91,8 +91,11 @@ def bilateral_ncc(
     del grid_centered  # gathers are uniformly fast on TPU; single code path
     height, width = src_img.shape
 
-    ox = jnp.asarray(offsets[:, 0])[:, None, None]           # (S, 1, 1)
-    oy = jnp.asarray(offsets[:, 1])[:, None, None]
+    # Offsets broadcast against any leading batch dims of (cx, cy):
+    # (S,) -> (S, 1, ..., 1) with cx.ndim trailing singleton dims.
+    oshape = (offsets.shape[0],) + (1,) * cx.ndim
+    ox = jnp.asarray(offsets[:, 0]).reshape(oshape)
+    oy = jnp.asarray(offsets[:, 1]).reshape(oshape)
     if scale is not None:
         ox = ox * scale[None]
         oy = oy * scale[None]

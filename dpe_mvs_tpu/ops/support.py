@@ -1,11 +1,10 @@
 """Per-sweep support maps: edge distances, nearest-strong, line-of-sight.
 
 TPU-native replacements for the reference's per-pixel walking kernels — all
-data-dependent while-loops become O(log N) *pointer-doubling* passes over
-static shifted arrays, which XLA fuses into pure VPU work (no gathers at all):
+data-dependent while-loops become O(log N) *pointer-doubling* passes:
 
   - ``GenEdgeInform`` (DPE.cu:2483-2591): per-direction walk to the nearest
-    edge pixel  -> :func:`ray_first_hit` doubling;
+    edge pixel  -> :func:`ray_first_hit_multi` doubling;
     edge-density "complexity" map -> integral-image box filter;
     label-region boundary walk -> :func:`label_run_length` doubling
     (contiguous-run semantics; the reference walks through *other* regions
@@ -17,6 +16,11 @@ static shifted arrays, which XLA fuses into pure VPU work (no gathers at all):
   - ``BresenhamLine`` (DPE.cu:158-250): per-call low-res line walk ->
     precomputed free-path distances along 16 quantized directions; a
     line-of-sight query becomes two table lookups.
+
+All doubling passes are vectorized over the direction axis and run their
+log-N levels in a single ``fori_loop`` body (dynamic shift distances become
+clamped gathers), keeping the traced program tiny — compile time was the
+bottleneck with unrolled static-shift chains.
 """
 from __future__ import annotations
 
@@ -28,8 +32,7 @@ import numpy as np
 
 INF = jnp.float32(1e9)
 
-# 8 walk directions in the reference's order (DPE.cu:2498):
-# {0,-1},{0,1},{-1,0},{1,0},{-1,-1},{1,1},{-1,1},{1,-1}  as (dx, dy).
+# 8 walk directions in the reference's order (DPE.cu:2498) as (dx, dy).
 DIR8 = np.array(
     [[0, -1], [0, 1], [-1, 0], [1, 0], [-1, -1], [1, 1], [-1, 1], [1, -1]],
     np.int32,
@@ -60,43 +63,88 @@ def shift_fill(arr: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     return jax.lax.dynamic_slice(padded, (py1 + dy, px1 + dx), (H, W))
 
 
+def _grids(H: int, W: int):
+    xg = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    yg = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    return xg, yg
+
+
+def _gather_planes(field: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
+                   oob_fill) -> jnp.ndarray:
+    """field (D, H, W); per-plane dynamic offsets. ty/tx (D, H, W) absolute
+    indices; out-of-bounds -> oob_fill."""
+    D, H, W = field.shape
+    d_idx = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    oob = (tx < 0) | (tx >= W) | (ty < 0) | (ty >= H)
+    lin = d_idx * (H * W) + jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
+    vals = jnp.take(field.reshape(-1), lin)
+    return jnp.where(oob, oob_fill, vals)
+
+
+def ray_first_hit_multi(mask: jnp.ndarray, vecs: np.ndarray, max_steps: int
+                        ) -> jnp.ndarray:
+    """(D, H, W) distance in steps of vecs[d] to the first True of ``mask``
+    strictly along each ray; INF if none within ``max_steps`` (rounded up to
+    a power of two). Pointer doubling, one fori_loop level per power of two.
+    """
+    H, W = mask.shape
+    D = vecs.shape[0]
+    vx = jnp.asarray(vecs[:, 0], jnp.int32)[:, None, None]
+    vy = jnp.asarray(vecs[:, 1], jnp.int32)[:, None, None]
+    xg, yg = _grids(H, W)
+
+    m = jnp.broadcast_to(mask, (D, H, W)).astype(jnp.float32)
+    hit1 = _gather_planes(
+        jnp.where(m > 0, 1.0, 0.0), yg + vy, xg + vx, 0.0)
+    d = jnp.where(hit1 > 0, jnp.float32(1.0), INF)
+
+    levels = max(1, int(np.ceil(np.log2(max(2, max_steps)))))
+
+    def body(i, d):
+        k = (jnp.int32(1) << i).astype(jnp.int32)
+        d_shift = _gather_planes(d, yg + vy * k, xg + vx * k, INF)
+        return jnp.where(d <= k.astype(jnp.float32), d,
+                         k.astype(jnp.float32) + d_shift)
+
+    d = jax.lax.fori_loop(0, levels, body, d)
+    return jnp.where(d > max_steps, INF, d)
+
+
 def ray_first_hit(mask: jnp.ndarray, dx: int, dy: int, max_steps: int
                   ) -> jnp.ndarray:
-    """Distance (in steps of (dx, dy)) from each pixel to the first True of
-    ``mask`` strictly along the ray, by pointer doubling. INF if none within
-    ``max_steps`` (rounded up to a power of two)."""
-    d = jnp.where(shift_fill(mask, dy, dx, False), jnp.float32(1.0), INF)
-    k = 1
-    while k < max_steps:
-        d_shift = shift_fill(d, dy * k, dx * k, INF)
-        d = jnp.where(d <= k, d, k + d_shift)
-        k *= 2
-    return jnp.where(d > max_steps, INF, d)
+    """Single-direction convenience wrapper around ray_first_hit_multi."""
+    return ray_first_hit_multi(mask, np.array([[dx, dy]], np.int32),
+                               max_steps)[0]
 
 
 def edge_steps(edge: jnp.ndarray, max_steps: int) -> jnp.ndarray:
     """(8, H, W) distances in steps along DIR8 to the nearest edge pixel
     (``GenEdgeInform`` edge_neigh, DPE.cu:2499-2520). INF when no hit."""
-    return jnp.stack(
-        [ray_first_hit(edge, int(dx), int(dy), max_steps) for dx, dy in DIR8]
-    )
+    return ray_first_hit_multi(edge, DIR8, max_steps)
 
 
 def label_run_length(label: jnp.ndarray, max_steps: int) -> jnp.ndarray:
     """(8, H, W) contiguous same-label run length along DIR8
     (label-region boundary, ``GenEdgeInform``, DPE.cu:2557-2590)."""
-    outs = []
-    for dx, dy in DIR8:
-        dx, dy = int(dx), int(dy)
-        same = shift_fill(label, dy, dx, -2) == label
-        r = jnp.where(same, jnp.float32(1.0), 0.0)
-        k = 1
-        while k < max_steps:
-            r_shift = shift_fill(r, dy * k, dx * k, 0.0)
-            r = jnp.where(r < k, r, k + r_shift)
-            k *= 2
-        outs.append(r)
-    return jnp.stack(outs)
+    H, W = label.shape
+    D = DIR8.shape[0]
+    vx = jnp.asarray(DIR8[:, 0], jnp.int32)[:, None, None]
+    vy = jnp.asarray(DIR8[:, 1], jnp.int32)[:, None, None]
+    xg, yg = _grids(H, W)
+
+    lab = jnp.broadcast_to(label, (D, H, W)).astype(jnp.float32)
+    nb = _gather_planes(lab, yg + vy, xg + vx, -2.0)
+    r = jnp.where(nb == lab, jnp.float32(1.0), 0.0)
+
+    levels = max(1, int(np.ceil(np.log2(max(2, max_steps)))))
+
+    def body(i, r):
+        k = (jnp.int32(1) << i).astype(jnp.float32)
+        ki = (jnp.int32(1) << i)
+        r_shift = _gather_planes(r, yg + vy * ki, xg + vx * ki, 0.0)
+        return jnp.where(r < k, r, k + r_shift)
+
+    return jax.lax.fori_loop(0, levels, body, r)
 
 
 def box_density(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -134,14 +182,18 @@ def complexity_map(edge: jnp.ndarray, label: jnp.ndarray, radius: int,
     return jax.nn.sigmoid(25.0 * (density - 0.35))
 
 
+_JFA_OFFS = np.array([[dy, dx] for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                      if not (dy == 0 and dx == 0)], np.int32)
+
+
 def jfa_nearest(mask: jnp.ndarray, max_dist: float
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jump-flooding nearest-True-pixel.
 
     Returns (coords (H, W, 2) int32 as (x, y), valid (H, W) bool). Replaces
     the reference's O(r^2) ring search (``FindNearestStrongPoint``,
-    DPE.cu:2855-2889) with an O(log N) shift-only pass; distances are
-    Euclidean and capped at ``max_dist``.
+    DPE.cu:2855-2889) with an O(log N) pass; distances are Euclidean and
+    capped at ``max_dist``.
     """
     H, W = mask.shape
     xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
@@ -149,26 +201,36 @@ def jfa_nearest(mask: jnp.ndarray, max_dist: float
     best_x = jnp.where(mask, xg, -1)
     best_y = jnp.where(mask, yg, -1)
 
+    offs_y = jnp.asarray(_JFA_OFFS[:, 0])[:, None, None]
+    offs_x = jnp.asarray(_JFA_OFFS[:, 1])[:, None, None]
+
+    levels = max(1, int(np.ceil(np.log2(max(H, W)))))
+
     def dist2(bx, by):
         dx = (bx - xg).astype(jnp.float32)
         dy = (by - yg).astype(jnp.float32)
         return jnp.where(bx < 0, INF, dx * dx + dy * dy)
 
-    step = 1
-    steps = []
-    while step < max(H, W):
-        steps.append(step)
-        step *= 2
-    for k in reversed(steps):
-        for oy in (-k, 0, k):
-            for ox in (-k, 0, k):
-                if ox == 0 and oy == 0:
-                    continue
-                cx = shift_fill(best_x, oy, ox, -1)
-                cy = shift_fill(best_y, oy, ox, -1)
-                better = dist2(cx, cy) < dist2(best_x, best_y)
-                best_x = jnp.where(better, cx, best_x)
-                best_y = jnp.where(better, cy, best_y)
+    def body(i, carry):
+        bx, by = carry
+        k = jnp.int32(1) << (levels - 1 - i)
+        ty = yg[None] + offs_y * k
+        tx = xg[None] + offs_x * k
+        cx = _gather_planes(jnp.broadcast_to(bx, (8, H, W)).astype(jnp.float32),
+                            ty, tx, -1.0).astype(jnp.int32)
+        cy = _gather_planes(jnp.broadcast_to(by, (8, H, W)).astype(jnp.float32),
+                            ty, tx, -1.0).astype(jnp.int32)
+        cand_d = jax.vmap(dist2)(cx, cy)              # (8, H, W)
+        best_o = jnp.argmin(cand_d, axis=0)
+        cand_best_d = jnp.min(cand_d, axis=0)
+        cbx = jnp.take_along_axis(cx, best_o[None], 0)[0]
+        cby = jnp.take_along_axis(cy, best_o[None], 0)[0]
+        better = cand_best_d < dist2(bx, by)
+        return (jnp.where(better, cbx, bx), jnp.where(better, cby, by))
+
+    best_x, best_y = jax.lax.fori_loop(0, levels, body, (best_x, best_y))
+    # One refinement round at step 1 tightens JFA's rare misses.
+    best_x, best_y = body(levels - 1, (best_x, best_y))
 
     d = jnp.sqrt(dist2(best_x, best_y))
     valid = (best_x >= 0) & (d <= max_dist)
@@ -215,13 +277,13 @@ class LineOfSight(NamedTuple):
         bin_ba = (bin_ab + 8) % 16
 
         Hl, Wl = self.free_dist.shape[1:]
-        flat = self.free_dist.reshape(16, -1)
+        flat = self.free_dist.reshape(-1)
 
         def free_at(b, x, y):
             ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wl - 1)
             iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hl - 1)
             lin = b.astype(jnp.int32) * (Hl * Wl) + iy * Wl + ix
-            return jnp.take(flat.reshape(-1), lin)
+            return jnp.take(flat, lin)
 
         fa = free_at(bin_ab, lx_a, ly_a)
         fb = free_at(bin_ba, lx_b, ly_b)
@@ -229,6 +291,7 @@ class LineOfSight(NamedTuple):
 
         # Endpoints on a full-res edge -> treated as same surface.
         Hf, Wf = edge_full.shape
+
         def edge_at(x, y):
             ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wf - 1)
             iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hf - 1)
@@ -243,15 +306,14 @@ def build_line_of_sight(edge_low: jnp.ndarray, full_w: int, full_h: int,
     """Free-path distances along DIR16 on the low-res edge map."""
     Hl, Wl = edge_low.shape
     max_dim = max(Hl, Wl)
-    fields = []
-    for i, (dx, dy) in enumerate(DIR16):
-        steps = ray_first_hit(edge_low, int(dx), int(dy), max_dim)
-        fields.append(steps * float(DIR16_LEN[i]))
+    steps = ray_first_hit_multi(edge_low, DIR16, max_dim)      # (16, Hl, Wl)
+    lens = jnp.asarray(DIR16_LEN)[:, None, None]
+    fields = steps * lens
     # Reference cap: high-res walks max(h,w)/60 Bresenham cells; otherwise
     # unbounded (DPE.cu:171).
     cap = round(max_dim / 60.0) if high_res_img else float(max_dim * 2)
     return LineOfSight(
-        free_dist=jnp.stack(fields),
+        free_dist=fields,
         scale_x=Wl / float(full_w),
         scale_y=Hl / float(full_h),
         max_len=jnp.float32(cap),

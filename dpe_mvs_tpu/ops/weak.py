@@ -51,14 +51,11 @@ def deformable_cost_vector(
         scale = sup.radius / float(params.strong_radius)
 
     anchors = sup.neighbours                     # (8, H, W, 2)
-    anchor_valid = [anchors[k, ..., 0] >= 0 for k in range(8)]
-    anchor_x = [anchors[k, ..., 0].astype(jnp.float32) for k in range(8)]
-    anchor_y = [anchors[k, ..., 1].astype(jnp.float32) for k in range(8)]
-    anchor_sel = [
-        sampling.gather_map(state.selected, anchors[k, ..., 1],
-                            anchors[k, ..., 0])
-        for k in range(8)
-    ]
+    anchor_valid = anchors[..., 0] >= 0          # (8, H, W)
+    anchor_x = anchors[..., 0].astype(jnp.float32)
+    anchor_y = anchors[..., 1].astype(jnp.float32)
+    anchor_sel = sampling.gather_map(
+        state.selected, anchors[..., 1], anchors[..., 0])   # (8, H, W)
 
     def body(_, xs):
         img, K, R_rel, t_rel, valid, v_idx = xs
@@ -68,28 +65,25 @@ def deformable_cost_vector(
         c0 = ncc.bilateral_ncc(
             data.ref_image, img, hom_c, px, py, offs_strong, 5.0, 3.0,
             data.ref_image, scale=scale,
-            grid_centered=(scale is None),
         )
         # Center warp out of source image -> whole cost is COST_MAX
         # (DPE.cu:577-580); bilateral_ncc already returns COST_MAX then.
 
-        strong_sum = jnp.zeros((H, W))
-        strong_cnt = jnp.zeros((H, W))
-        for k in range(8):
-            hom_k = ncc.homography_field(data.ref_cam, K, R_rel, t_rel, plane,
-                                         anchor_x[k], anchor_y[k])
-            ck = ncc.bilateral_ncc(
-                data.ref_image, img, hom_k, anchor_x[k], anchor_y[k],
-                offs_weak, 5.0, 3.0, data.ref_image)
-            wx, wy = hom_k.at_offset(jnp.zeros((H, W)), jnp.zeros((H, W)))
-            oob = (wx < 0) | (wy < 0) | (wx >= W) | (wy >= H)
-            sel_here = ((anchor_sel[k] >> v_idx.astype(jnp.uint32)) & 1) == 1
-            # In-bounds anchor -> its window cost; OOB anchor counts COST_MAX
-            # only if it had selected this view (DPE.cu:595-607).
-            contrib = jnp.where(oob, jnp.where(sel_here, COST_MAX, 0.0), ck)
-            counts = jnp.where(oob, jnp.where(sel_here, 1.0, 0.0), 1.0)
-            strong_sum += jnp.where(anchor_valid[k], contrib, 0.0)
-            strong_cnt += jnp.where(anchor_valid[k], counts, 0.0)
+        # All 8 anchor windows batched: cx/cy carry a leading (8,) dim.
+        hom_k = ncc.homography_field(data.ref_cam, K, R_rel, t_rel, plane,
+                                     anchor_x, anchor_y)
+        ck = ncc.bilateral_ncc(
+            data.ref_image, img, hom_k, anchor_x, anchor_y,
+            offs_weak, 5.0, 3.0, data.ref_image)            # (8, H, W)
+        wx, wy = hom_k.at_offset(jnp.zeros(()), jnp.zeros(()))
+        oob = (wx < 0) | (wy < 0) | (wx >= W) | (wy >= H)
+        sel_here = ((anchor_sel >> v_idx.astype(jnp.uint32)) & 1) == 1
+        # In-bounds anchor -> its window cost; OOB anchor counts COST_MAX
+        # only if it had selected this view (DPE.cu:595-607).
+        contrib = jnp.where(oob, jnp.where(sel_here, COST_MAX, 0.0), ck)
+        counts = jnp.where(oob, jnp.where(sel_here, 1.0, 0.0), 1.0)
+        strong_sum = jnp.sum(jnp.where(anchor_valid, contrib, 0.0), axis=0)
+        strong_cnt = jnp.sum(jnp.where(anchor_valid, counts, 0.0), axis=0)
 
         strong_cost = jnp.minimum(
             strong_sum / jnp.maximum(strong_cnt, 1.0), COST_MAX)
@@ -310,47 +304,40 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     geom = params.geom_consistency
 
     anchors = sup.neighbours
-    flags, cand_planes, cost_rows = [], [], []
-    prior = jnp.zeros((nview, H, W), jnp.float32)
-    for k in range(8):
-        a_x = anchors[k, ..., 0]
-        a_y = anchors[k, ..., 1]
-        a_valid = a_x >= 0
-        a_weak = sampling.gather_map(state.weak, a_y, a_x)
-        flag = a_valid & (a_weak == STRONG)
-        p_k = sampling.gather_map(state.plane, a_y, a_x)
-        c_k = deformable_cost_vector(data, sup, state, p_k, params)
-        flags.append(flag)
-        cand_planes.append(p_k)
-        cost_rows.append(jnp.where(flag[None], c_k, 0.0))
-        # Priors from all non-(-1) anchors (DPE.cu:1717-1730).
-        a_sel = sampling.gather_map(state.selected, a_y, a_x)
-        bits = ((a_sel[None] >> jnp.arange(nview, dtype=jnp.uint32)
-                 [:, None, None]) & 1) == 1
-        prior = prior + jnp.where(a_valid[None],
-                                  jnp.where(bits, 0.9, 0.1), 0.0)
+    a_x = anchors[..., 0]                                    # (8, H, W)
+    a_y = anchors[..., 1]
+    a_valid = a_x >= 0
+    a_weak = sampling.gather_map(state.weak, a_y, a_x)
+    flags = a_valid & (a_weak == STRONG)                     # (8, H, W)
+    cand_planes = sampling.gather_map(state.plane, a_y, a_x)  # (8, H, W, 4)
+    cost_array = jax.lax.map(
+        lambda pl: deformable_cost_vector(data, sup, state, pl, params),
+        cand_planes)                                          # (8, V, H, W)
+    cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
-    cost_array = jnp.stack(cost_rows)               # (8, V, H, W)
+    # Priors from all non-(-1) anchors (DPE.cu:1717-1730).
+    a_sel = sampling.gather_map(state.selected, a_y, a_x)     # (8, H, W)
+    bits = ((a_sel[:, None] >> jnp.arange(nview, dtype=jnp.uint32)
+             [None, :, None, None]) & 1) == 1                 # (8, V, H, W)
+    prior = jnp.sum(jnp.where(a_valid[:, None],
+                              jnp.where(bits, 0.9, 0.1), 0.0), axis=0)
+
     view_weight, temp_selected, weight_norm = pm.view_selection(
         k_sel, cost_array, prior, data.view_valid, it)
     wsum = jnp.maximum(weight_norm, 1e-30)
 
     if geom:
-        geom_rows = []
-        for k in range(8):
-            g_k = _geom_vec(data, cand_planes[k])
-            g_k = jnp.where(flags[k][None], g_k, GEOM_COST_MAX)
-            geom_rows.append(g_k)
-        cost_array = cost_array + params.geom_factor * jnp.stack(geom_rows)
+        geom_rows = jax.lax.map(lambda pl: _geom_vec(data, pl), cand_planes)
+        geom_rows = jnp.where(flags[:, None], geom_rows, GEOM_COST_MAX)
+        cost_array = cost_array + params.geom_factor * geom_rows
 
     final_costs = jnp.sum(view_weight[None] * cost_array, axis=1) / wsum[None]
 
     min_idx = jnp.argmin(final_costs, axis=0)
-    flag_stack = jnp.stack(flags)
-    min_flag = jnp.take_along_axis(flag_stack, min_idx[None], 0)[0]
+    min_flag = jnp.take_along_axis(flags, min_idx[None], 0)[0]
     min_cost = jnp.take_along_axis(final_costs, min_idx[None], 0)[0]
-    plane_stack = jnp.stack(cand_planes)
-    min_plane = jnp.take_along_axis(plane_stack, min_idx[None, ..., None], 0)[0]
+    min_plane = jnp.take_along_axis(cand_planes, min_idx[None, ..., None],
+                                    0)[0]
 
     cost_now_vec = deformable_cost_vector(data, sup, state, state.plane, params)
     if geom:
@@ -387,17 +374,11 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     depth = jnp.where(ok, d_fit, depth)
     cost = jnp.where(ok, c_fit, cost)
 
-    k1, k2, k3, k4 = jax.random.split(k_ref, 4)
-    depth_rand = jax.random.uniform(k1, (H, W), minval=data.depth_min,
-                                    maxval=data.depth_max)
-    n_rand = planegen.random_normal_facing(k2, data.ref_cam, px, py, depth)
-    depth_pert = jax.random.uniform(k3, (H, W), minval=0.98 * depth,
-                                    maxval=1.02 * depth)
-    n_pert = planegen.perturbed_normal(k4, data.ref_cam, px, py,
-                                       plane[..., :3], 0.02 * np.pi)
-    n_cur = plane[..., :3]
-    for d_i, n_i in [(depth_rand, n_cur), (depth, n_rand), (depth_rand, n_rand),
-                     (depth, n_pert), (depth_pert, n_cur)]:
+    depths_c, normals_c = pm.refine_combos(k_ref, data, plane, depth)
+
+    def refine_body(carry, xs):
+        plane, depth, cost = carry
+        d_i, n_i = xs
         cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
         c = eval_weighted(cand)
         d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
@@ -406,6 +387,10 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
         plane = jnp.where(ok[..., None], cand, plane)
         depth = jnp.where(ok, d_chk, depth)
         cost = jnp.where(ok, c, cost)
+        return (plane, depth, cost), None
+
+    (plane, depth, cost), _ = jax.lax.scan(
+        refine_body, (plane, depth, cost), (depths_c, normals_c))
 
     if params.state == RunState.REFINE_INIT:
         accept_final = cost < stored_cost - 0.1

@@ -136,7 +136,6 @@ def export_npy(problem: scene.Problem, *, depth: bool, normal: bool,
         w = formats.read_dmb(rf / "weak.bin")
         d[w == int(PixelState.UNKNOWN)] = 0.0
         np.save(rf / "depth.npy", d)
-        (rf / "depth.npy").with_suffix("")  # no-op; np.save appends .npy
     if normal:
         n = formats.read_dmb(rf / "normals.dmb").astype(np.float32)
         np.save(rf / "normal.npy", n)

@@ -19,8 +19,12 @@ def setup(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "DPE_MVS_TPU_CACHE", os.path.expanduser("~/.cache/dpe_mvs_tpu_xla"))
+    # The persistent cache is opt-in: on this backend, reloading executables
+    # whose large embedded constants were hoisted to parameters trips a
+    # "supplied N buffers but expected M" execution error.
+    cache_dir = cache_dir or os.environ.get("DPE_MVS_TPU_CACHE")
+    if not cache_dir:
+        return
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 from dpe_mvs_tpu.utils import jaxconfig  # noqa: E402
 jaxconfig.setup()
+import jax  # noqa: E402
+
+# The environment pins JAX_PLATFORMS=axon at interpreter startup; the env var
+# alone does not stick, so force the CPU platform through the config.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,76 @@
+"""Multi-chip logic on the virtual 8-device CPU mesh (SURVEY.md §2.3)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dpe_mvs_tpu.config import PatchMatchParams, RunState
+from dpe_mvs_tpu.engine import state as st_mod
+from dpe_mvs_tpu.io import scene as scene_mod
+from dpe_mvs_tpu.parallel import mesh as mesh_mod
+from dpe_mvs_tpu.utils.synthetic import make_plane_scene
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_build_src_index():
+    idx = mesh_mod.build_src_index([10, 20, 30], [[20, 30], [10], [99]], 4)
+    np.testing.assert_array_equal(
+        idx, [[1, 2, -1, -1], [0, -1, -1, -1], [-1, -1, -1, -1]])
+
+
+def test_sharded_sweep_matches_local(eight_devices, tmp_path):
+    """The mesh-sharded sweep must produce the same depths as per-problem
+    local sweeps (it is the same program, just partitioned)."""
+    mesh = mesh_mod.make_mesh(eight_devices[:4])
+    params = PatchMatchParams(state=RunState.FIRST_INIT, use_APD=False,
+                              use_edge=False, geom_consistency=False,
+                              max_iterations=1)
+    datas, states = [], []
+    v_pad = 2
+    for b in range(4):
+        sc = make_plane_scene(tmp_path / f"s{b}", width=48, height=40,
+                              num_views=3, seed=b)
+        p = scene_mod.generate_sample_list(sc.folder)[0]
+        inputs = scene_mod.load_problem_inputs(
+            p, 1, need_prior=False, need_weak=False, need_src_depths=False)
+        datas.append(st_mod.build_sweep_data(inputs, v_pad))
+        states.append(st_mod.init_pm_state(inputs, v_pad, jax.random.key(b),
+                                           False))
+
+    stacked_d = mesh_mod.stack_pytrees(datas)
+    stacked_s = mesh_mod.stack_pytrees(states)
+    out = mesh_mod.sharded_sweep(mesh, stacked_d, stacked_s, params)
+    assert out.plane.shape[0] == 4
+
+    from dpe_mvs_tpu.engine.sweep import run_sweep
+    ref0 = jax.jit(run_sweep, static_argnames=("params",))(
+        datas[0], states[0], params)
+    np.testing.assert_allclose(np.asarray(out.plane[0]),
+                               np.asarray(ref0.plane), rtol=1e-5, atol=1e-5)
+
+
+def test_exchange_depths(eight_devices, tmp_path):
+    mesh = mesh_mod.make_mesh(eight_devices[:4])
+    H, W = 16, 20
+    B, V = 4, 2
+    depth = jnp.arange(B * H * W, dtype=jnp.float32).reshape(B, H, W)
+
+    class FakeState:
+        plane = jnp.concatenate(
+            [jnp.zeros((B, H, W, 3)), depth[..., None]], axis=-1)
+
+    src_index = jnp.asarray(
+        mesh_mod.build_src_index(list(range(B)),
+                                 [[(b + 1) % B] for b in range(B)], V))
+    out = mesh_mod.exchange_depths(mesh, FakeState, src_index)
+    assert out.shape == (B, V, H, W)
+    # Problem 0's first source is problem 1's depth map.
+    np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(depth[1]))
+    # Padded slots are zero.
+    np.testing.assert_array_equal(np.asarray(out[0, 1]), 0.0)
