@@ -28,7 +28,7 @@ def main() -> int:
     import tempfile
     from dpe_mvs_tpu.config import PatchMatchParams, schedule_params
     from dpe_mvs_tpu.engine import state as st_mod
-    from dpe_mvs_tpu.engine.sweep import run_sweep_jit
+    from dpe_mvs_tpu.engine.sweep import run_sweep
     from dpe_mvs_tpu.io import scene as scene_mod
     from dpe_mvs_tpu.utils.synthetic import make_plane_scene
 
@@ -45,15 +45,16 @@ def main() -> int:
     params = schedule_params(PatchMatchParams(), 0, None)  # round-0 pass A
     st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
 
-    # Warm up (compile).
-    st = run_sweep_jit(data, st0, params)
+    # AOT compile + warm up.
+    fn = jax.jit(run_sweep, static_argnames=("params",)).lower(
+        data, st0, params).compile()
+    st = fn(data, st0)
     jax.block_until_ready(st.plane)
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        st = run_sweep_jit(data, st0._replace(key=jax.random.key(i + 1)),
-                           params)
+        st = fn(data, st0._replace(key=jax.random.key(i + 1)))
         jax.block_until_ready(st.plane)
         times.append(time.perf_counter() - t0)
     sweep_time = float(np.median(times))

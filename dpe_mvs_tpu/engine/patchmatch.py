@@ -28,7 +28,7 @@ WEAK = int(PixelState.WEAK)
 STRONG = int(PixelState.STRONG)
 UNKNOWN = int(PixelState.UNKNOWN)
 
-BIG = jnp.float32(1e30)
+BIG = float(1e30)  # python float: stays an HLO literal, never a hoisted const arg
 
 
 class Support(NamedTuple):

@@ -46,7 +46,7 @@ UNKNOWN = int(PixelState.UNKNOWN)
 MAX_SEARCH_RADIUS = 4096
 MIN_MARGIN = 6
 NEIGHBOUR_NUM = 9
-BIG = jnp.float32(1e30)
+BIG = float(1e30)  # python float: stays an HLO literal, never a hoisted const arg
 
 
 def sector_rays(rotate_time: int) -> np.ndarray:

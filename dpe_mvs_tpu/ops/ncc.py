@@ -85,40 +85,68 @@ def bilateral_ncc(
     """Bilateral-weighted NCC cost of one window per pixel against one source
     view. Returns (H, W) cost in [0, COST_MAX].
 
-    Sample-vectorized: all S window samples are evaluated as one batched
-    (S, H, W) gather — compact HLO and maximal gather throughput.
+    Sample-chunked: window samples are evaluated in batched gather chunks
+    sized to bound transient memory, with the six NCC sums accumulated in a
+    scan — compact HLO, high gather throughput, O(chunk * pixels) transients.
     """
     del grid_centered  # gathers are uniformly fast on TPU; single code path
     height, width = src_img.shape
 
-    # Offsets broadcast against any leading batch dims of (cx, cy):
-    # (S,) -> (S, 1, ..., 1) with cx.ndim trailing singleton dims.
-    oshape = (offsets.shape[0],) + (1,) * cx.ndim
-    ox = jnp.asarray(offsets[:, 0]).reshape(oshape)
-    oy = jnp.asarray(offsets[:, 1]).reshape(oshape)
-    if scale is not None:
-        ox = ox * scale[None]
-        oy = oy * scale[None]
-    rx = cx[None] + ox
-    ry = cy[None] + oy
-    ref_pix = sampling.bilinear(ref_img, rx, ry)              # (S, H, W)
-    sx, sy = hom.at_offset(ox, oy)
-    src_pix = sampling.bilinear(src_img, sx, sy)
+    S = offsets.shape[0]
+    batch_elems = 1
+    for d in cx.shape:
+        batch_elems *= d
+    # Bound transient gather buffers to ~4M elements (~16 MB in f32, x a few
+    # pipeline copies inside XLA).
+    chunk = max(1, min(S, int(4_000_000 // max(batch_elems, 1)) or 1))
+    n_chunks = (S + chunk - 1) // chunk
+    pad = n_chunks * chunk - S
+    offs = np.concatenate([offsets.astype(np.float32),
+                           np.zeros((pad, 2), np.float32)])
+    smask = np.concatenate([np.ones(S, np.float32), np.zeros(pad, np.float32)])
+    offs = offs.reshape(n_chunks, chunk, 2)
+    smask = smask.reshape(n_chunks, chunk)
 
-    # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial distance
-    # over 2*sigma^2 (a reference quirk that shapes the weights; keep it).
-    spatial = jnp.sqrt(ox * ox + oy * oy)
-    w = jnp.exp(
-        -spatial / (2.0 * sigma_spatial * sigma_spatial)
-        - jnp.abs(ref_pix - ref_center_pix[None])
-        / (2.0 * sigma_color * sigma_color)
-    )
-    sum_w = jnp.sum(w, axis=0)
-    sum_ref = jnp.sum(w * ref_pix, axis=0)
-    sum_ref_ref = jnp.sum(w * ref_pix * ref_pix, axis=0)
-    sum_src = jnp.sum(w * src_pix, axis=0)
-    sum_src_src = jnp.sum(w * src_pix * src_pix, axis=0)
-    sum_ref_src = jnp.sum(w * ref_pix * src_pix, axis=0)
+    oshape = (chunk,) + (1,) * cx.ndim
+    zeros = jnp.zeros(cx.shape, jnp.float32)
+
+    def body(carry, xs):
+        off_c, m_c = xs
+        ox = off_c[:, 0].reshape(oshape)
+        oy = off_c[:, 1].reshape(oshape)
+        if scale is not None:
+            ox = ox * scale[None]
+            oy = oy * scale[None]
+        rx = cx[None] + ox
+        ry = cy[None] + oy
+        ref_pix = sampling.bilinear(ref_img, rx, ry)          # (chunk, ...)
+        sx, sy = hom.at_offset(ox, oy)
+        src_pix = sampling.bilinear(src_img, sx, sy)
+        # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial
+        # distance over 2*sigma^2 (a reference quirk; keep it).
+        spatial = jnp.sqrt(ox * ox + oy * oy)
+        w = jnp.exp(
+            -spatial / (2.0 * sigma_spatial * sigma_spatial)
+            - jnp.abs(ref_pix - ref_center_pix[None])
+            / (2.0 * sigma_color * sigma_color)
+        ) * m_c.reshape(oshape)
+        acc = (
+            carry[0] + jnp.sum(w, 0),
+            carry[1] + jnp.sum(w * ref_pix, 0),
+            carry[2] + jnp.sum(w * ref_pix * ref_pix, 0),
+            carry[3] + jnp.sum(w * src_pix, 0),
+            carry[4] + jnp.sum(w * src_pix * src_pix, 0),
+            carry[5] + jnp.sum(w * ref_pix * src_pix, 0),
+        )
+        return acc, None
+
+    init = (zeros, zeros, zeros, zeros, zeros, zeros)
+    if n_chunks == 1:
+        sums, _ = body(init, (jnp.asarray(offs[0]), jnp.asarray(smask[0])))
+    else:
+        sums, _ = jax.lax.scan(body, init,
+                               (jnp.asarray(offs), jnp.asarray(smask)))
+    sum_w, sum_ref, sum_ref_ref, sum_src, sum_src_src, sum_ref_src = sums
 
     inv_w = 1.0 / sum_w
     m_ref = sum_ref * inv_w

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF = jnp.float32(1e9)
+INF = float(1e9)  # python float: stays an HLO literal, never a hoisted const arg
 
 # 8 walk directions in the reference's order (DPE.cu:2498) as (dx, dy).
 DIR8 = np.array(

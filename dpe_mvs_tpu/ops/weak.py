@@ -22,7 +22,7 @@ from ..engine.state import PMState, SweepData
 WEAK = int(PixelState.WEAK)
 STRONG = int(PixelState.STRONG)
 UNKNOWN = int(PixelState.UNKNOWN)
-BIG = jnp.float32(1e30)
+BIG = float(1e30)  # python float: stays an HLO literal, never a hoisted const arg
 NEIGHBOUR_NUM = 9
 
 

@@ -24,8 +24,29 @@ from .. import config
 from ..config import EngineConfig, PatchMatchParams, PixelState, RunState
 from ..edges import dual_level
 from ..engine import state as state_mod
-from ..engine.sweep import run_sweep_jit
+from ..engine.sweep import run_sweep
 from ..io import formats, scene
+
+# AOT-compiled sweep executables keyed by (shape signature, params). Explicit
+# ahead-of-time compilation keeps one executable per (scene-size, schedule
+# variant) and avoids re-dispatch overhead in the per-problem loop.
+_COMPILED_SWEEPS: Dict = {}
+
+
+def _compiled_sweep(data, st, params, verbose=False):
+    import jax
+
+    key = (jax.tree.map(lambda x: (x.shape, str(x.dtype)), (data, st)), params)
+    key = str(key)
+    fn = _COMPILED_SWEEPS.get(key)
+    if fn is None:
+        t0 = time.time()
+        fn = jax.jit(run_sweep, static_argnames=("params",)).lower(
+            data, st, params).compile()
+        if verbose:
+            print(f"  [compile] sweep variant in {time.time() - t0:.1f}s")
+        _COMPILED_SWEEPS[key] = fn
+    return fn
 
 
 def compute_round_num(problems: List[scene.Problem], cfg: EngineConfig) -> int:
@@ -96,7 +117,7 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
         cfg.seed + problem.ref_image_id * 1000 + problem.iteration)
     st = state_mod.init_pm_state(inputs, v_pad, key, params.use_APD)
 
-    st = run_sweep_jit(data, st, params)
+    st = _compiled_sweep(data, st, params, verbose)(data, st)
 
     plane = np.asarray(st.plane)
     depth = plane[..., 3].copy()
@@ -156,6 +177,8 @@ def export_npy(problem: scene.Problem, *, depth: bool, normal: bool,
 
 def cleanup_intermediates(problems: List[scene.Problem], round_num: int) -> None:
     """Delete intermediate state files (main.cpp:581-595)."""
+    if problems:
+        _progress_path(problems[0].dense_folder).unlink(missing_ok=True)
     for p in problems:
         rf = p.result_folder
         for name in ("weak.bin", "depths.dmb", "normals.dmb",
@@ -164,6 +187,30 @@ def cleanup_intermediates(problems: List[scene.Problem], round_num: int) -> None
         for j in range(round_num):
             (rf / f"edges_{j}.dmb").unlink(missing_ok=True)
             (rf / f"labels_{j}.dmb").unlink(missing_ok=True)
+
+
+def _progress_path(dense_folder: Path) -> Path:
+    return dense_folder / "DPE" / "progress.json"
+
+
+def _load_progress(dense_folder: Path) -> int:
+    """Last fully-completed iteration index, or -1 (checkpoint/resume:
+    SURVEY.md §5 — the reference resumes only by accident of its disk
+    layout; here it is explicit)."""
+    import json
+    p = _progress_path(dense_folder)
+    if p.exists():
+        try:
+            return int(json.loads(p.read_text()).get("iteration", -1))
+        except Exception:
+            return -1
+    return -1
+
+
+def _save_progress(dense_folder: Path, iteration: int) -> None:
+    import json
+    _progress_path(dense_folder).write_text(
+        json.dumps({"iteration": iteration}))
 
 
 def run_pipeline(
@@ -178,9 +225,12 @@ def run_pipeline(
     edge: bool = False,
     cfg: Optional[EngineConfig] = None,
     keep_intermediates: bool = False,
+    resume: bool = False,
 ) -> int:
     """Full pipeline (``RunDPEPipeline``, main.cpp:474-600). Returns 0 on
-    success."""
+    success. With ``resume=True``, previously completed iterations (tracked
+    in DPE/progress.json, state in the per-view .dmb checkpoints) are
+    skipped."""
     cfg = cfg or EngineConfig()
     dense_folder = Path(dense_folder)
     (dense_folder / "DPE").mkdir(parents=True, exist_ok=True)
@@ -213,25 +263,23 @@ def run_pipeline(
         print(f"There are {round_num} resolution stages, "
               f"{round_num * 4} iterations")
 
+    done_iter = _load_progress(dense_folder) if resume else -1
     iteration = 0
     for i in range(round_num):
         scale_size = 2 ** (round_num - 1 - i)
-        params = config.schedule_params(base, i, None)
-        for p in problems:
-            p.iteration = iteration
-            process_problem(p, params, scale_size, max_scale, v_pad, cfg,
-                            verbose)
-        if verbose:
-            print(f"Iteration {iteration + 1} / {round_num * 4} done")
-        iteration += 1
-        for j in range(3):
+        for j in [None, 0, 1, 2]:
             params = config.schedule_params(base, i, j)
-            for p in problems:
-                p.iteration = iteration
-                process_problem(p, params, scale_size, max_scale, v_pad, cfg,
-                                verbose)
-            if verbose:
-                print(f"Iteration {iteration + 1} / {round_num * 4} done")
+            if iteration > done_iter:
+                for p in problems:
+                    p.iteration = iteration
+                    process_problem(p, params, scale_size, max_scale, v_pad,
+                                    cfg, verbose)
+                _save_progress(dense_folder, iteration)
+                if verbose:
+                    print(f"Iteration {iteration + 1} / {round_num * 4} done")
+            elif verbose:
+                print(f"Iteration {iteration + 1} / {round_num * 4} "
+                      "resumed from checkpoint")
             iteration += 1
 
     for p in problems:

@@ -1,0 +1,65 @@
+"""End-to-end pipeline test on a rendered ground-truth scene.
+
+Exercises the full coarse-to-fine schedule (FIRST_INIT, REFINE_INIT,
+REFINE_ITER with geometric consistency and the weak-texture machinery),
+npy export, fusion, and cleanup — the reference's 99% path
+(``RunDPEPipeline``). Statistical acceptance per SURVEY.md §4.
+"""
+import numpy as np
+import pytest
+
+from dpe_mvs_tpu.config import EngineConfig
+from dpe_mvs_tpu.io import formats
+from dpe_mvs_tpu.pipeline.schedule import run_pipeline
+from dpe_mvs_tpu.utils.synthetic import make_plane_scene
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("e2e")
+    sc = make_plane_scene(folder, width=64, height=48, num_views=3, seed=4,
+                          step=True, weak_patch=True)
+    ret = run_pipeline(sc.folder, verbose=False, fusion=True, depth=True,
+                       normal=True, weak=True, edge=True,
+                       keep_intermediates=True)
+    return sc, ret
+
+
+def test_pipeline_returns_ok(pipeline_run):
+    _, ret = pipeline_run
+    assert ret == 0
+
+
+def test_depth_output_accuracy(pipeline_run):
+    sc, _ = pipeline_run
+    d = np.load(sc.folder / "DPE" / "00000000" / "depth.npy")
+    gt = sc.gt_depths[0]
+    assert d.shape == gt.shape
+    assert d.dtype == np.float32
+    valid = d > 0
+    assert valid.mean() > 0.5
+    err = np.abs(d[valid] - gt[valid]) / gt[valid]
+    assert np.median(err) < 0.02, np.median(err)
+
+
+def test_normal_weak_edge_outputs(pipeline_run):
+    sc, _ = pipeline_run
+    rf = sc.folder / "DPE" / "00000000"
+    n = np.load(rf / "normal.npy")
+    assert n.shape == (*sc.gt_depths[0].shape, 3)
+    w = np.load(rf / "weak.npy")
+    assert w.dtype == np.int8
+    assert set(np.unique(w)) <= {0, 1, 2}
+    e = np.load(rf / "edge.npy")
+    assert e.dtype == np.int8
+    assert set(np.unique(e)) <= {0, 1}
+
+
+def test_fusion_pointcloud(pipeline_run):
+    sc, _ = pipeline_run
+    pts, cols = formats.read_ply(sc.folder / "DPE" / "DPE.ply")
+    assert pts.shape[0] > 500
+    # Points lie near the ground-truth planes: check z spread is sane.
+    assert np.isfinite(pts).all()
+    z = pts[:, 2]
+    assert (z > 1.0).mean() > 0.95 and (z < 8.0).mean() > 0.95
