@@ -101,15 +101,20 @@ def load_support_maps(problem: scene.Problem, scale_size: int, max_scale: int,
 
 def process_problem(problem: scene.Problem, params: PatchMatchParams,
                     scale_size: int, max_scale: int, v_pad: int,
-                    cfg: EngineConfig, verbose: bool = False) -> None:
-    """One sweep over one problem (``ProcessProblem``, main.cpp:411-472)."""
+                    cfg: EngineConfig, verbose: bool = False,
+                    inputs: "Optional[scene.ProblemInputs]" = None) -> None:
+    """One sweep over one problem (``ProcessProblem``, main.cpp:411-472).
+
+    ``inputs`` may be supplied pre-loaded (the scheduler prefetches the next
+    problem's images while the device sweeps the current one)."""
     t0 = time.time()
-    inputs = scene.load_problem_inputs(
-        problem, scale_size,
-        need_prior=params.state != RunState.FIRST_INIT,
-        need_weak=params.use_APD,
-        need_src_depths=params.geom_consistency,
-    )
+    if inputs is None:
+        inputs = scene.load_problem_inputs(
+            problem, scale_size,
+            need_prior=params.state != RunState.FIRST_INIT,
+            need_weak=params.use_APD,
+            need_src_depths=params.geom_consistency,
+        )
     edge, edge_low, label = load_support_maps(
         problem, scale_size, max_scale, params, inputs.width, inputs.height)
     data = state_mod.build_sweep_data(inputs, v_pad, edge, edge_low, label)
@@ -270,10 +275,27 @@ def run_pipeline(
         for j in [None, 0, 1, 2]:
             params = config.schedule_params(base, i, j)
             if iteration > done_iter:
-                for p in problems:
-                    p.iteration = iteration
-                    process_problem(p, params, scale_size, max_scale, v_pad,
-                                    cfg, verbose)
+                # Prefetch the next problem's inputs (jpg decode + resize)
+                # while the device sweeps the current one — the host-side
+                # data loader runs one problem ahead.
+                import concurrent.futures as cf
+
+                def load(p):
+                    return scene.load_problem_inputs(
+                        p, scale_size,
+                        need_prior=params.state != RunState.FIRST_INIT,
+                        need_weak=params.use_APD,
+                        need_src_depths=params.geom_consistency)
+
+                with cf.ThreadPoolExecutor(max_workers=1) as pool:
+                    fut = pool.submit(load, problems[0])
+                    for idx, p in enumerate(problems):
+                        inputs = fut.result()
+                        if idx + 1 < len(problems):
+                            fut = pool.submit(load, problems[idx + 1])
+                        p.iteration = iteration
+                        process_problem(p, params, scale_size, max_scale,
+                                        v_pad, cfg, verbose, inputs=inputs)
                 _save_progress(dense_folder, iteration)
                 if verbose:
                     print(f"Iteration {iteration + 1} / {round_num * 4} done")

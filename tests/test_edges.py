@@ -14,10 +14,20 @@ def test_roberts_flat_is_dark():
 
 def test_roberts_detects_step():
     img = np.zeros((20, 20), np.uint8)
-    img[:, 10:] = 200
+    img[:, 10:] = 100
     r = dual_level.roberts(img)
-    assert r[5, 9] > 100  # the step column lights up
+    # sqrt(100^2 + 100^2) = 141 at the step column.
+    assert r[5, 9] > 100
     assert r[5, 3] == 0
+
+
+def test_roberts_truncation_wraps_like_reference():
+    """(uchar)sqrt(t1^2+t2^2) wraps >255 magnitudes (C-style truncation);
+    both the native and NumPy paths must agree."""
+    img = np.zeros((8, 8), np.uint8)
+    img[:, 4:] = 200
+    r = dual_level.roberts(img)
+    assert r[3, 3] == int(np.sqrt(2) * 200) % 256
 
 
 def test_connect_labels_regions():
