@@ -72,12 +72,22 @@ def get_problem_edges(problem: scene.Problem, scale_size: int,
         scaled = scene.resize_linear(img, new_cols, new_rows).astype(np.uint8)
         edge = dual_level.fine_edges(scaled, params.high_res_img)
         formats.write_dmb(edge_path, edge)
+        if problem.show_medium_result:
+            cv2.imwrite(str(rf / f"rawedge_{scale}.jpg"), edge)
 
     label_path = rf / f"labels_{scale}.dmb"
     if not label_path.exists():
         label = dual_level.coarse_labels(img.astype(np.uint8), scale,
                                          params.high_res_img)
         formats.write_dmb(label_path, label)
+        if problem.show_medium_result:
+            # Colorized connected regions (``connect_<s>.jpg``, main.cpp:382).
+            rng = np.random.default_rng(0)
+            colors = rng.integers(0, 256, (label.max() + 2, 3), np.uint8)
+            colors[0] = 0
+            img_connect = colors[np.maximum(label, 0)]
+            img_connect[label < 0] = 0
+            cv2.imwrite(str(rf / f"connect_{scale}.jpg"), img_connect)
 
 
 def load_support_maps(problem: scene.Problem, scale_size: int, max_scale: int,
