@@ -24,10 +24,16 @@ def dpe_mvs(
     edge: bool = False,
     *,
     cfg: Optional[EngineConfig] = None,
+    parallel: bool = False,
+    resume: bool = False,
 ) -> int:
     """Run the full DPE-MVS pipeline. Returns 0 on success; raises
     RuntimeError on failure (as the reference bindings do,
-    csrc/bindings.cpp:27)."""
+    csrc/bindings.cpp:27).
+
+    Extensions over the reference: ``parallel=True`` shards the problem list
+    over all available devices (view-data parallelism, SURVEY.md §2.3);
+    ``resume=True`` continues from the last checkpointed iteration."""
     from .utils import jaxconfig
     jaxconfig.setup()
     import jax
@@ -38,20 +44,18 @@ def dpe_mvs(
     else:
         dev = devices[0]
 
-    from .pipeline.schedule import run_pipeline
-
-    with jax.default_device(dev):
-        ret = run_pipeline(
-            dense_folder,
-            verbose=verbose,
-            fusion=fusion,
-            viz=viz,
-            depth=depth,
-            normal=normal,
-            weak=weak,
-            edge=edge,
-            cfg=cfg,
-        )
+    if parallel and len(devices) > 1:
+        from .pipeline.parallel_schedule import run_pipeline_parallel
+        ret = run_pipeline_parallel(
+            dense_folder, verbose=verbose, fusion=fusion, viz=viz,
+            depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg)
+    else:
+        from .pipeline.schedule import run_pipeline
+        with jax.default_device(dev):
+            ret = run_pipeline(
+                dense_folder, verbose=verbose, fusion=fusion, viz=viz,
+                depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg,
+                resume=resume)
     if ret != 0:
         raise RuntimeError(f"DPE-MVS failed with code {ret}")
     return ret

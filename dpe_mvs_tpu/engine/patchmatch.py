@@ -66,6 +66,7 @@ def ncc_cost_vector(
     cx: Optional[jnp.ndarray] = None,
     cy: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
+    ref_cache: Optional[ncc.RefWindowCache] = None,
 ) -> jnp.ndarray:
     """(V, H, W) bilateral NCC of one plane field against every source view
     (``ComputeMultiViewCostVectorOld``, DPE.cu:870-879). Invalid (padding)
@@ -74,9 +75,6 @@ def ncc_cost_vector(
     px, py = geo.pixel_grid(H, W)
     if cx is None:
         cx, cy = px, py
-        grid_centered = True
-    else:
-        grid_centered = False
     ref_center = data.ref_image  # image value at the pixel itself
 
     def body(_, xs):
@@ -84,12 +82,22 @@ def ncc_cost_vector(
         hom = ncc.homography_field(data.ref_cam, K, R_rel, t_rel, plane, cx, cy)
         c = ncc.bilateral_ncc(
             data.ref_image, img, hom, cx, cy, offsets,
-            5.0, 3.0, ref_center, scale=scale, grid_centered=grid_centered,
+            5.0, 3.0, ref_center, scale=scale, ref_cache=ref_cache,
         )
         return None, jnp.where(valid, c, COST_MAX)
 
     _, costs = jax.lax.scan(body, None, _view_xs(data))
     return costs
+
+
+def strong_ref_cache(data: SweepData, params: PatchMatchParams):
+    """Ref-side window cache for the standard strong NCC geometry — shared
+    by every strong cost evaluation in a sweep."""
+    H, W = data.ref_image.shape
+    px, py = geo.pixel_grid(H, W)
+    return ncc.make_ref_cache(
+        data.ref_image, px, py, strong_offsets(params), 5.0, 3.0,
+        data.ref_image)
 
 
 def geom_cost_vector(data: SweepData, plane: jnp.ndarray) -> jnp.ndarray:
@@ -125,11 +133,12 @@ def initialize(data: SweepData, state: PMState, params: PatchMatchParams
     px, py = geo.pixel_grid(H, W)
     offs = strong_offsets(params)
     key, sub = jax.random.split(state.key)
+    cache = strong_ref_cache(data, params)
 
     if params.state == RunState.FIRST_INIT:
         plane = planegen.random_plane(sub, data.ref_cam, px, py,
                                       data.depth_min, data.depth_max)
-        costs = ncc_cost_vector(data, plane, offs)          # (V, H, W)
+        costs = ncc_cost_vector(data, plane, offs, ref_cache=cache)
         # Top-k init cost + selected views (DPE.cu:780-826).
         v = costs.shape[0]
         num_valid = jnp.sum(costs < COST_MAX, axis=0)       # (H, W)
@@ -154,7 +163,7 @@ def initialize(data: SweepData, state: PMState, params: PatchMatchParams
     depth = state.plane[..., 3]
     n_cam = geo.normal_world_to_cam(data.ref_cam, n_world)
     plane = geo.plane_from_depth_normal(data.ref_cam, px, py, depth, n_cam)
-    costs = ncc_cost_vector(data, plane, offs)
+    costs = ncc_cost_vector(data, plane, offs, ref_cache=cache)
     v = costs.shape[0]
     bit = (state.selected[None] >> jnp.arange(v, dtype=jnp.uint32)[:, None, None]) & 1
     use = (bit == 1) & (costs < COST_MAX)
@@ -454,7 +463,8 @@ def refine_combos(key, data: SweepData, plane, depth):
 
 
 def refine_strong(key, data: SweepData, params: PatchMatchParams,
-                  plane, depth, cost, view_weight, weight_norm):
+                  plane, depth, cost, view_weight, weight_norm,
+                  ref_cache=None):
     H, W = data.ref_image.shape
     px, py = geo.pixel_grid(H, W)
     offs = strong_offsets(params)
@@ -465,7 +475,7 @@ def refine_strong(key, data: SweepData, params: PatchMatchParams,
         plane, depth, cost = carry
         d_i, n_i = xs
         cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
-        costs = ncc_cost_vector(data, cand, offs)
+        costs = ncc_cost_vector(data, cand, offs, ref_cache=ref_cache)
         c = jnp.sum(view_weight * costs, axis=0) / wsum
         d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
         ok = (d_chk >= data.depth_min) & (d_chk <= data.depth_max) & \
@@ -494,6 +504,7 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
     offs = strong_offsets(params)
     nview = data.num_src
     k_sel, k_ref = jax.random.split(key)
+    cache = strong_ref_cache(data, params)
 
     if params.use_edge:
         flags, dxs, dys = edge_candidates(state.cost, data.edge,
@@ -506,7 +517,8 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
 
     cand_planes = _gather2d(state.plane, yg[None] + dys, xg[None] + dxs)
     cost_array = jax.lax.map(
-        lambda pl: ncc_cost_vector(data, pl, offs), cand_planes)  # (8,V,H,W)
+        lambda pl: ncc_cost_vector(data, pl, offs, ref_cache=cache),
+        cand_planes)                                              # (8,V,H,W)
     # Uncomputed directions keep zeroed rows, as the reference's
     # uninitialized cost_array does (DPE.cu:1236; border-only effect).
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
@@ -520,7 +532,8 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
         dx2 = jnp.stack(dx2)
         dy2 = jnp.stack(dy2)
         p2 = _gather2d(state.plane, yg[None] + dy2, xg[None] + dx2)
-        c2 = jax.lax.map(lambda pl: ncc_cost_vector(data, pl, offs), p2)
+        c2 = jax.lax.map(
+            lambda pl: ncc_cost_vector(data, pl, offs, ref_cache=cache), p2)
         good1 = jnp.sum(cost_array < good_thr, axis=1)        # (8, H, W)
         bad1 = jnp.sum(cost_array > 1.2, axis=1)
         c2m = jnp.where(f2[:, None], c2, COST_MAX)
@@ -545,7 +558,7 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
     min_plane = jnp.take_along_axis(
         cand_planes, min_idx[None, ..., None], axis=0)[0]
 
-    cost_now_vec = ncc_cost_vector(data, state.plane, offs)
+    cost_now_vec = ncc_cost_vector(data, state.plane, offs, ref_cache=cache)
     cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum
     cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
     stored_cost = cost_now
@@ -561,7 +574,8 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
     selected = jnp.where(accept, temp_selected, state.selected)
 
     plane, depth, cost = refine_strong(
-        k_ref, data, params, plane, depth, cost, view_weight, weight_norm)
+        k_ref, data, params, plane, depth, cost, view_weight, weight_norm,
+        ref_cache=cache)
 
     if params.state == RunState.REFINE_INIT:
         # Hysteresis: protect the upsampled prior (DPE.cu:1656-1665).
@@ -645,10 +659,10 @@ def median_filter_depth(data: SweepData, plane: jnp.ndarray, cost: jnp.ndarray,
 
 def _selected_weighted_cost(data: SweepData, state: PMState,
                             params: PatchMatchParams, plane: jnp.ndarray,
-                            offs: np.ndarray) -> jnp.ndarray:
+                            offs: np.ndarray, ref_cache=None) -> jnp.ndarray:
     """Weighted NCC (+ geom) over the pixel's selected views; (H, W)."""
     nview = data.num_src
-    costs = ncc_cost_vector(data, plane, offs)
+    costs = ncc_cost_vector(data, plane, offs, ref_cache=ref_cache)
     if params.geom_consistency:
         costs = costs + params.geom_factor * geom_cost_vector(data, plane)
     bits = ((state.selected[None] >> jnp.arange(nview, dtype=jnp.uint32)
@@ -681,6 +695,7 @@ def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
     H, W = data.ref_image.shape
     px, py = geo.pixel_grid(H, W)
     offs = strong_offsets(params)
+    cache = strong_ref_cache(data, params)
     n_cam, origin_depth, bl, _cnt = _disparity_setup(data, state)
     f = data.ref_cam.fx
     disp0 = f * bl / jnp.where(origin_depth > 0, origin_depth, 1e30)
@@ -688,7 +703,8 @@ def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
     def step(_, p_disp):
         p_depth = f * bl / (disp0 + p_disp)
         cand = geo.plane_from_depth_normal(data.ref_cam, px, py, p_depth, n_cam)
-        c, _ = _selected_weighted_cost(data, state, params, cand, offs)
+        c, _ = _selected_weighted_cost(data, state, params, cand, offs,
+                                       ref_cache=cache)
         in_range = (p_depth >= data.depth_min) & (p_depth <= data.depth_max)
         return None, jnp.where(in_range, jnp.minimum(c, COST_MAX), COST_MAX)
 

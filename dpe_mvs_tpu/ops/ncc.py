@@ -19,7 +19,7 @@ Costs are in [0, 2] with 2.0 == COST_MAX meaning invalid (DPE.cu:573).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,88 @@ def homography_field(ref_cam: geo.Camera, src_K, R_rel, t_rel, plane, cx, cy
     return HomographyField(q0=q0, hx=hx, hy=hy)
 
 
+def _chunking(S: int, batch_shape) -> Tuple[int, int]:
+    """(chunk, n_chunks): bound transient gather buffers to ~4M elements."""
+    batch_elems = 1
+    for d in batch_shape:
+        batch_elems *= d
+    chunk = max(1, min(S, int(4_000_000 // max(batch_elems, 1)) or 1))
+    return chunk, (S + chunk - 1) // chunk
+
+
+def _chunked_offsets(offsets: np.ndarray, chunk: int, n_chunks: int):
+    pad = n_chunks * chunk - offsets.shape[0]
+    offs = np.concatenate([offsets.astype(np.float32),
+                           np.zeros((pad, 2), np.float32)])
+    smask = np.concatenate([np.ones(offsets.shape[0], np.float32),
+                            np.zeros(pad, np.float32)])
+    return offs.reshape(n_chunks, chunk, 2), smask.reshape(n_chunks, chunk)
+
+
+class RefWindowCache(NamedTuple):
+    """Precomputed reference-image side of an NCC window set.
+
+    The ref samples and bilateral weights depend only on the reference image
+    and the window geometry — NOT on the candidate plane, the source view, or
+    the disparity step — so one cache serves every cost evaluation of a sweep
+    stage (the reference re-reads ref texels in every one of its ~30k window
+    evaluations per pixel per sweep)."""
+
+    ref_pix: jnp.ndarray    # (n_chunks, chunk, *B)
+    w: jnp.ndarray          # (n_chunks, chunk, *B) masked bilateral weights
+    sum_w: jnp.ndarray      # (*B)
+    sum_ref: jnp.ndarray
+    sum_ref_ref: jnp.ndarray
+
+
+def make_ref_cache(
+    ref_img: jnp.ndarray,
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    offsets: np.ndarray,
+    sigma_spatial: float,
+    sigma_color: float,
+    ref_center_pix: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    max_bytes: int = 2_000_000_000,
+) -> Optional[RefWindowCache]:
+    """Build the ref-side cache, or None if it would exceed ``max_bytes``."""
+    S = offsets.shape[0]
+    batch_elems = 1
+    for d in cx.shape:
+        batch_elems *= d
+    if 2 * 4 * S * batch_elems > max_bytes:
+        return None
+    chunk, n_chunks = _chunking(S, cx.shape)
+    offs, smask = _chunked_offsets(offsets, chunk, n_chunks)
+    oshape = (chunk,) + (1,) * cx.ndim
+
+    def one(off_c, m_c):
+        ox = off_c[:, 0].reshape(oshape)
+        oy = off_c[:, 1].reshape(oshape)
+        if scale is not None:
+            ox = ox * scale[None]
+            oy = oy * scale[None]
+        ref_pix = sampling.bilinear(ref_img, cx[None] + ox, cy[None] + oy)
+        spatial = jnp.sqrt(ox * ox + oy * oy)
+        w = jnp.exp(
+            -spatial / (2.0 * sigma_spatial * sigma_spatial)
+            - jnp.abs(ref_pix - ref_center_pix[None])
+            / (2.0 * sigma_color * sigma_color)
+        ) * m_c.reshape(oshape)
+        return ref_pix, w
+
+    ref_pix, w = jax.lax.map(
+        lambda xs: one(*xs), (jnp.asarray(offs), jnp.asarray(smask)))
+    return RefWindowCache(
+        ref_pix=ref_pix,
+        w=w,
+        sum_w=jnp.sum(w, axis=(0, 1)),
+        sum_ref=jnp.sum(w * ref_pix, axis=(0, 1)),
+        sum_ref_ref=jnp.sum(w * ref_pix * ref_pix, axis=(0, 1)),
+    )
+
+
 def bilateral_ncc(
     ref_img: jnp.ndarray,          # (H, W)
     src_img: jnp.ndarray,          # (H, W)
@@ -81,6 +163,7 @@ def bilateral_ncc(
     ref_center_pix: jnp.ndarray,   # (H, W) color anchor for bilateral weight
     scale: Optional[jnp.ndarray] = None,   # per-pixel offset scale (adaptive r)
     grid_centered: bool = False,           # (cx, cy) == the pixel grid itself
+    ref_cache: Optional[RefWindowCache] = None,
 ) -> jnp.ndarray:
     """Bilateral-weighted NCC cost of one window per pixel against one source
     view. Returns (H, W) cost in [0, COST_MAX].
@@ -88,64 +171,72 @@ def bilateral_ncc(
     Sample-chunked: window samples are evaluated in batched gather chunks
     sized to bound transient memory, with the six NCC sums accumulated in a
     scan — compact HLO, high gather throughput, O(chunk * pixels) transients.
+    With ``ref_cache`` the reference-image half of the work is skipped.
     """
     del grid_centered  # gathers are uniformly fast on TPU; single code path
     height, width = src_img.shape
 
     S = offsets.shape[0]
-    batch_elems = 1
-    for d in cx.shape:
-        batch_elems *= d
-    # Bound transient gather buffers to ~4M elements (~16 MB in f32, x a few
-    # pipeline copies inside XLA).
-    chunk = max(1, min(S, int(4_000_000 // max(batch_elems, 1)) or 1))
-    n_chunks = (S + chunk - 1) // chunk
-    pad = n_chunks * chunk - S
-    offs = np.concatenate([offsets.astype(np.float32),
-                           np.zeros((pad, 2), np.float32)])
-    smask = np.concatenate([np.ones(S, np.float32), np.zeros(pad, np.float32)])
-    offs = offs.reshape(n_chunks, chunk, 2)
-    smask = smask.reshape(n_chunks, chunk)
-
+    chunk, n_chunks = _chunking(S, cx.shape)
+    offs, smask = _chunked_offsets(offsets, chunk, n_chunks)
     oshape = (chunk,) + (1,) * cx.ndim
     zeros = jnp.zeros(cx.shape, jnp.float32)
 
     def body(carry, xs):
-        off_c, m_c = xs
+        if ref_cache is None:
+            off_c, m_c = xs
+        else:
+            off_c, m_c, ref_pix, w = xs
         ox = off_c[:, 0].reshape(oshape)
         oy = off_c[:, 1].reshape(oshape)
         if scale is not None:
             ox = ox * scale[None]
             oy = oy * scale[None]
-        rx = cx[None] + ox
-        ry = cy[None] + oy
-        ref_pix = sampling.bilinear(ref_img, rx, ry)          # (chunk, ...)
+        if ref_cache is None:
+            ref_pix = sampling.bilinear(ref_img, cx[None] + ox, cy[None] + oy)
+            # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial
+            # distance over 2*sigma^2 (a reference quirk; keep it).
+            spatial = jnp.sqrt(ox * ox + oy * oy)
+            w = jnp.exp(
+                -spatial / (2.0 * sigma_spatial * sigma_spatial)
+                - jnp.abs(ref_pix - ref_center_pix[None])
+                / (2.0 * sigma_color * sigma_color)
+            ) * m_c.reshape(oshape)
         sx, sy = hom.at_offset(ox, oy)
         src_pix = sampling.bilinear(src_img, sx, sy)
-        # ComputeBilateralWeight (DPE.cu:550-555): NON-squared spatial
-        # distance over 2*sigma^2 (a reference quirk; keep it).
-        spatial = jnp.sqrt(ox * ox + oy * oy)
-        w = jnp.exp(
-            -spatial / (2.0 * sigma_spatial * sigma_spatial)
-            - jnp.abs(ref_pix - ref_center_pix[None])
-            / (2.0 * sigma_color * sigma_color)
-        ) * m_c.reshape(oshape)
-        acc = (
-            carry[0] + jnp.sum(w, 0),
-            carry[1] + jnp.sum(w * ref_pix, 0),
-            carry[2] + jnp.sum(w * ref_pix * ref_pix, 0),
-            carry[3] + jnp.sum(w * src_pix, 0),
-            carry[4] + jnp.sum(w * src_pix * src_pix, 0),
-            carry[5] + jnp.sum(w * ref_pix * src_pix, 0),
-        )
+        acc = carry
+        if ref_cache is None:
+            acc = (
+                acc[0] + jnp.sum(w, 0),
+                acc[1] + jnp.sum(w * ref_pix, 0),
+                acc[2] + jnp.sum(w * ref_pix * ref_pix, 0),
+                acc[3] + jnp.sum(w * src_pix, 0),
+                acc[4] + jnp.sum(w * src_pix * src_pix, 0),
+                acc[5] + jnp.sum(w * ref_pix * src_pix, 0),
+            )
+        else:
+            acc = (
+                acc[0],
+                acc[1],
+                acc[2],
+                acc[3] + jnp.sum(w * src_pix, 0),
+                acc[4] + jnp.sum(w * src_pix * src_pix, 0),
+                acc[5] + jnp.sum(w * ref_pix * src_pix, 0),
+            )
         return acc, None
 
-    init = (zeros, zeros, zeros, zeros, zeros, zeros)
-    if n_chunks == 1:
-        sums, _ = body(init, (jnp.asarray(offs[0]), jnp.asarray(smask[0])))
+    if ref_cache is None:
+        init = (zeros, zeros, zeros, zeros, zeros, zeros)
+        xs = (jnp.asarray(offs), jnp.asarray(smask))
     else:
-        sums, _ = jax.lax.scan(body, init,
-                               (jnp.asarray(offs), jnp.asarray(smask)))
+        init = (ref_cache.sum_w, ref_cache.sum_ref, ref_cache.sum_ref_ref,
+                zeros, zeros, zeros)
+        xs = (jnp.asarray(offs), jnp.asarray(smask), ref_cache.ref_pix,
+              ref_cache.w)
+    if n_chunks == 1:
+        sums, _ = body(init, jax.tree.map(lambda a: a[0], xs))
+    else:
+        sums, _ = jax.lax.scan(body, init, xs)
     sum_w, sum_ref, sum_ref_ref, sum_src, sum_src_src, sum_ref_src = sums
 
     inv_w = 1.0 / sum_w

@@ -30,12 +30,39 @@ def weak_offsets(params: PatchMatchParams) -> np.ndarray:
     return ncc.window_offsets(params.weak_radius, params.weak_increment)
 
 
+def make_deformable_caches(data: SweepData, sup, params: PatchMatchParams):
+    """Ref-side caches for the deformable NCC: the adaptive-radius center
+    window (changes with sup.radius each iteration) and the 8 anchor windows
+    (fixed per sweep). Shared across the ~15 cost evaluations per weak
+    propagation step and all views."""
+    from ..geometry import cameras as _geo
+    H, W = data.ref_image.shape
+    px, py = _geo.pixel_grid(H, W)
+    scale = None
+    if params.use_radius and sup.radius is not None:
+        scale = sup.radius / float(params.strong_radius)
+    offs_strong = ncc.window_offsets(params.strong_radius,
+                                     params.strong_increment)
+    offs_weak = weak_offsets(params)
+    anchors = sup.neighbours
+    anchor_x = anchors[..., 0].astype(jnp.float32)
+    anchor_y = anchors[..., 1].astype(jnp.float32)
+    cache_center = ncc.make_ref_cache(
+        data.ref_image, px, py, offs_strong, 5.0, 3.0, data.ref_image,
+        scale=scale)
+    cache_anchor = ncc.make_ref_cache(
+        data.ref_image, anchor_x, anchor_y, offs_weak, 5.0, 3.0,
+        data.ref_image)
+    return cache_center, cache_anchor
+
+
 def deformable_cost_vector(
     data: SweepData,
     sup,
     state: PMState,
     plane: jnp.ndarray,
     params: PatchMatchParams,
+    caches=None,
 ) -> jnp.ndarray:
     """(V, H, W) deformable NCC (``ComputeBilateralNCCNew``, DPE.cu:557-690):
     0.25 * center window (adaptive radius) + 0.75 * mean over up-to-8 strong
@@ -57,6 +84,10 @@ def deformable_cost_vector(
     anchor_sel = sampling.gather_map(
         state.selected, anchors[..., 1], anchors[..., 0])   # (8, H, W)
 
+    if caches is None:
+        caches = make_deformable_caches(data, sup, params)
+    cache_center, cache_anchor = caches
+
     def body(_, xs):
         img, K, R_rel, t_rel, valid, v_idx = xs
         # Center window (k == 0) with adaptive radius.
@@ -64,7 +95,7 @@ def deformable_cost_vector(
                                      px, py)
         c0 = ncc.bilateral_ncc(
             data.ref_image, img, hom_c, px, py, offs_strong, 5.0, 3.0,
-            data.ref_image, scale=scale,
+            data.ref_image, scale=scale, ref_cache=cache_center,
         )
         # Center warp out of source image -> whole cost is COST_MAX
         # (DPE.cu:577-580); bilateral_ncc already returns COST_MAX then.
@@ -74,7 +105,8 @@ def deformable_cost_vector(
                                      anchor_x, anchor_y)
         ck = ncc.bilateral_ncc(
             data.ref_image, img, hom_k, anchor_x, anchor_y,
-            offs_weak, 5.0, 3.0, data.ref_image)            # (8, H, W)
+            offs_weak, 5.0, 3.0, data.ref_image,
+            ref_cache=cache_anchor)                          # (8, H, W)
         wx, wy = hom_k.at_offset(jnp.zeros(()), jnp.zeros(()))
         oob = (wx < 0) | (wy < 0) | (wx >= W) | (wy >= H)
         sel_here = ((anchor_sel >> v_idx.astype(jnp.uint32)) & 1) == 1
@@ -310,8 +342,10 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     a_weak = sampling.gather_map(state.weak, a_y, a_x)
     flags = a_valid & (a_weak == STRONG)                     # (8, H, W)
     cand_planes = sampling.gather_map(state.plane, a_y, a_x)  # (8, H, W, 4)
+    caches = make_deformable_caches(data, sup, params)
     cost_array = jax.lax.map(
-        lambda pl: deformable_cost_vector(data, sup, state, pl, params),
+        lambda pl: deformable_cost_vector(data, sup, state, pl, params,
+                                          caches=caches),
         cand_planes)                                          # (8, V, H, W)
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
@@ -339,7 +373,8 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     min_plane = jnp.take_along_axis(cand_planes, min_idx[None, ..., None],
                                     0)[0]
 
-    cost_now_vec = deformable_cost_vector(data, sup, state, state.plane, params)
+    cost_now_vec = deformable_cost_vector(data, sup, state, state.plane,
+                                          params, caches=caches)
     if geom:
         cost_now_vec = cost_now_vec + params.geom_factor * _geom_vec(
             data, state.plane)
@@ -359,7 +394,8 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
 
     # Refinement (PlaneHypothesisRefinementWeak, DPE.cu:1120-1212).
     def eval_weighted(cand):
-        c = deformable_cost_vector(data, sup, state, cand, params)
+        c = deformable_cost_vector(data, sup, state, cand, params,
+                                   caches=caches)
         if geom:
             c = c + params.geom_factor * _geom_vec(data, cand)
         return jnp.sum(view_weight * c, axis=0) / wsum
@@ -399,7 +435,8 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     # Re-express the stored cost with the standard strong NCC so weak and
     # strong costs are comparable during propagation (DPE.cu:1845-1861).
     offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
-    final_vec = pm.ncc_cost_vector(data, plane, offs)
+    final_vec = pm.ncc_cost_vector(data, plane, offs,
+                                   ref_cache=pm.strong_ref_cache(data, params))
     final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
     final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
 

@@ -82,6 +82,24 @@ def _fuse_view(ref_cam_arrs, src_cam_arrs, ref_depth, ref_normal, ref_weak,
     return accept, Xw, num_consistent, used, sxs, sys_
 
 
+def export_depth_image_point_cloud(out_path, image_bgr: np.ndarray,
+                                   cam: scene.CameraData,
+                                   depth: np.ndarray,
+                                   depth_min: float, depth_max: float) -> Path:
+    """Back-project a single depth map to a colored PLY
+    (``ExportDepthImagePointCloud``, DPE.cpp:1691-1724)."""
+    H, W = depth.shape
+    cam_j = _camera_of(cam)
+    px, py = geo.pixel_grid(H, W)
+    Xw = np.asarray(geo.backproject_to_world(cam_j, px, py,
+                                             jnp.asarray(depth)))
+    valid = (depth >= depth_min) & (depth <= depth_max) & np.isfinite(depth)
+    pts = Xw[valid].astype(np.float32)
+    cols = image_bgr[valid].astype(np.uint8)
+    formats.write_ply(out_path, pts, cols)
+    return Path(out_path)
+
+
 def run_fusion(dense_folder, problems: List[scene.Problem],
                verbose: bool = False) -> Path:
     dense_folder = Path(dense_folder)

@@ -132,7 +132,24 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
         cfg.seed + problem.ref_image_id * 1000 + problem.iteration)
     st = state_mod.init_pm_state(inputs, v_pad, key, params.use_APD)
 
-    st = _compiled_sweep(data, st, params, verbose)(data, st)
+    # Failure handling (SURVEY.md §5: the reference exits on any CUDA error;
+    # here transient device/tunnel failures are retried with backoff).
+    last_err = None
+    for attempt in range(3):
+        try:
+            st = _compiled_sweep(data, st, params, verbose)(data, st)
+            jax.block_until_ready(st.plane)
+            last_err = None
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            if "RESOURCE_EXHAUSTED" in str(e) or isinstance(e, (KeyboardInterrupt,)):
+                raise
+            last_err = e
+            print(f"  [retry {attempt + 1}/3] sweep failed: "
+                  f"{type(e).__name__}: {str(e)[:120]}")
+            time.sleep(5.0 * (attempt + 1))
+    if last_err is not None:
+        raise last_err
 
     plane = np.asarray(st.plane)
     depth = plane[..., 3].copy()

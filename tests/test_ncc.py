@@ -100,3 +100,37 @@ def test_geom_consistency_perfect_depths(rng):
     cost = np.asarray(ncc.geom_consistency_cost(ref, src, src_depth, plane,
                                                 px, py))
     assert np.median(cost) < 0.05
+
+
+def test_ref_cache_equivalence(rng):
+    """bilateral_ncc with a ref-side cache must match the uncached path."""
+    import jax.numpy as jnp2
+    ref, src, cam, px, py = _setup(rng=rng)
+    plane = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray([0.1, -0.05, -0.99]), (*px.shape, 3)),
+         jnp.full((*px.shape, 1), 3.5)], -1)
+    hom = ncc.homography_field(cam, cam.K, jnp.eye(3),
+                               jnp.asarray([0.07, 0.01, 0.0]), plane, px, py)
+    offs = ncc.window_offsets(5, 2)
+    ref_j = jnp.asarray(ref)
+    src_j = jnp.asarray(src)
+    base = np.asarray(ncc.bilateral_ncc(
+        ref_j, src_j, hom, px, py, offs, 5.0, 3.0, ref_j))
+    cache = ncc.make_ref_cache(ref_j, px, py, offs, 5.0, 3.0, ref_j)
+    cached = np.asarray(ncc.bilateral_ncc(
+        ref_j, src_j, hom, px, py, offs, 5.0, 3.0, ref_j, ref_cache=cache))
+    np.testing.assert_allclose(cached, base, rtol=1e-5, atol=1e-5)
+
+    # Scaled (adaptive radius) variant.
+    scale = jnp.full(px.shape, 2.0)
+    base_s = np.asarray(ncc.bilateral_ncc(
+        ref_j, src_j, hom, px, py, offs, 5.0, 3.0, ref_j, scale=scale))
+    cache_s = ncc.make_ref_cache(ref_j, px, py, offs, 5.0, 3.0, ref_j,
+                                 scale=scale)
+    cached_s = np.asarray(ncc.bilateral_ncc(
+        ref_j, src_j, hom, px, py, offs, 5.0, 3.0, ref_j, scale=scale,
+        ref_cache=cache_s))
+    # f32 accumulation-order differences can flip isolated pixels across the
+    # kMinVar / clip thresholds; require element-wise match on 99.5%.
+    close = np.isclose(cached_s, base_s, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, close.mean()
