@@ -44,18 +44,23 @@ def dpe_mvs(
     else:
         dev = devices[0]
 
-    if parallel and len(devices) > 1:
-        from .pipeline.parallel_schedule import run_pipeline_parallel
-        ret = run_pipeline_parallel(
-            dense_folder, verbose=verbose, fusion=fusion, viz=viz,
-            depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg)
-    else:
-        from .pipeline.schedule import run_pipeline
-        with jax.default_device(dev):
-            ret = run_pipeline(
+    try:
+        if parallel and len(devices) > 1:
+            from .pipeline.parallel_schedule import run_pipeline_parallel
+            ret = run_pipeline_parallel(
                 dense_folder, verbose=verbose, fusion=fusion, viz=viz,
-                depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg,
-                resume=resume)
+                depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg)
+        else:
+            from .pipeline.schedule import run_pipeline
+            with jax.default_device(dev):
+                ret = run_pipeline(
+                    dense_folder, verbose=verbose, fusion=fusion, viz=viz,
+                    depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg,
+                    resume=resume)
+    except (OSError, ValueError) as e:
+        # Reference parity: scene/input errors surface as RuntimeError
+        # (csrc/bindings.cpp:27 turns any nonzero return into RuntimeError).
+        raise RuntimeError(f"DPE-MVS failed: {e}") from e
     if ret != 0:
         raise RuntimeError(f"DPE-MVS failed with code {ret}")
     return ret

@@ -23,24 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
-def gather_2x2(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
-    """Gather 2x2 patches ``img[y0:y0+2, x0:x0+2]`` for each index pair.
+def gather_2x2(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
+    """Gather the 2x2 patch corners ``img[y0:y0+2, x0:x0+2]`` per index pair.
 
     y0/x0: int32 arrays of identical shape S, already clamped to
-    [0, H-2] / [0, W-2]. Returns (*S, 2, 2).
+    [0, H-2] / [0, W-2]. Returns (p00, p01, p10, p11), each of shape S.
+
+    Formulated as four flat linear-index takes: XLA TPU vectorizes 1-D
+    element gathers but lowers multi-dim slice gathers (2x2 ``slice_sizes``)
+    to a serial per-index loop — measured ~475k samples/s serial vs
+    effectively free vectorized at sweep shapes.
     """
-    shape = y0.shape
-    starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1),
-    )
-    out = jax.lax.gather(
-        img, starts, dnums, slice_sizes=(2, 2),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )
-    return out.reshape(*shape, 2, 2)
+    W = img.shape[1]
+    flat = img.reshape(-1)
+    lin = y0 * W + x0
+    return flat[lin], flat[lin + 1], flat[lin + W], flat[lin + W + 1]
 
 
 def bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -57,9 +54,10 @@ def bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     y0f = jnp.clip(jnp.floor(y), 0.0, H - 2.0) if H > 1 else jnp.zeros_like(y)
     fx = x - x0f
     fy = y - y0f
-    patches = gather_2x2(img, y0f.astype(jnp.int32), x0f.astype(jnp.int32))
-    top = patches[..., 0, 0] * (1.0 - fx) + patches[..., 0, 1] * fx
-    bot = patches[..., 1, 0] * (1.0 - fx) + patches[..., 1, 1] * fx
+    p00, p01, p10, p11 = gather_2x2(
+        img, y0f.astype(jnp.int32), x0f.astype(jnp.int32))
+    top = p00 * (1.0 - fx) + p01 * fx
+    bot = p10 * (1.0 - fx) + p11 * fx
     return top * (1.0 - fy) + bot * fy
 
 
