@@ -90,14 +90,14 @@ def row_gather(img: jnp.ndarray, ix: jnp.ndarray, *, bh: int = 256,
 
     out = pl.pallas_call(
         functools.partial(_row_gather_kernel, nq=nq),
-        grid=(Hp // bh,),
+        grid=(Hp // bh, Lp // LANES),
         in_specs=[
-            pl.BlockSpec((bh, Wp), lambda i: (i, 0),
+            pl.BlockSpec((bh, Wp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, Lp), lambda i: (i, 0),
+            pl.BlockSpec((bh, LANES), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bh, Lp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bh, LANES), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Lp), img.dtype),
         interpret=_auto_interpret(interpret),
@@ -147,14 +147,14 @@ def bilinear_x(img: jnp.ndarray, x: jnp.ndarray, *, bh: int = 256,
 
     out = pl.pallas_call(
         functools.partial(_bilinear_x_kernel, nq=nq, W=W),
-        grid=(Hp // bh,),
+        grid=(Hp // bh, Lp // LANES),
         in_specs=[
-            pl.BlockSpec((bh, Wp), lambda i: (i, 0),
+            pl.BlockSpec((bh, Wp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, Lp), lambda i: (i, 0),
+            pl.BlockSpec((bh, LANES), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bh, Lp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bh, LANES), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Lp), jnp.float32),
         interpret=_auto_interpret(interpret),
