@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import COST_MAX, GEOM_COST_MAX, PatchMatchParams, PixelState, RunState
 from ..geometry import cameras as geo
-from ..ops import ncc, planes as planegen, sampling, support
+from ..ops import checker, ncc, planes as planegen, sampling, support
 from .state import PMState, SweepData
 
 WEAK = int(PixelState.WEAK)
@@ -67,15 +67,18 @@ def ncc_cost_vector(
     cy: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
     ref_cache: Optional[ncc.RefWindowCache] = None,
+    ref_center: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """(V, H, W) bilateral NCC of one plane field against every source view
+    """(V, *B) bilateral NCC of one plane field against every source view
     (``ComputeMultiViewCostVectorOld``, DPE.cu:870-879). Invalid (padding)
-    views get COST_MAX."""
+    views get COST_MAX. Window centers default to the full pixel grid; pass
+    ``cx``/``cy`` (+ matching ``ref_center`` image values) to evaluate at
+    arbitrary sites (e.g. one checkerboard color's compacted half grid)."""
     H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
     if cx is None:
-        cx, cy = px, py
-    ref_center = data.ref_image  # image value at the pixel itself
+        cx, cy = geo.pixel_grid(H, W)
+    if ref_center is None:
+        ref_center = data.ref_image  # image value at the pixel itself
 
     def body(_, xs):
         img, K, R_rel, t_rel, valid = xs
@@ -90,20 +93,27 @@ def ncc_cost_vector(
     return costs
 
 
-def strong_ref_cache(data: SweepData, params: PatchMatchParams):
+def strong_ref_cache(data: SweepData, params: PatchMatchParams,
+                     cx=None, cy=None, ref_center=None):
     """Ref-side window cache for the standard strong NCC geometry — shared
-    by every strong cost evaluation in a sweep."""
+    by every strong cost evaluation at the given window centers (defaults to
+    the full pixel grid)."""
     H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
+    if cx is None:
+        cx, cy = geo.pixel_grid(H, W)
+    if ref_center is None:
+        ref_center = data.ref_image
     return ncc.make_ref_cache(
-        data.ref_image, px, py, strong_offsets(params), 5.0, 3.0,
-        data.ref_image)
+        data.ref_image, cx, cy, strong_offsets(params), 5.0, 3.0,
+        ref_center)
 
 
-def geom_cost_vector(data: SweepData, plane: jnp.ndarray) -> jnp.ndarray:
-    """(V, H, W) forward-backward geometric cost (DPE.cu:915-953)."""
+def geom_cost_vector(data: SweepData, plane: jnp.ndarray,
+                     px=None, py=None) -> jnp.ndarray:
+    """(V, *B) forward-backward geometric cost (DPE.cu:915-953)."""
     H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
+    if px is None:
+        px, py = geo.pixel_grid(H, W)
 
     def body(_, xs):
         depth_map, K, R, t, valid = xs
@@ -424,14 +434,22 @@ def view_selection(key, cost_array: jnp.ndarray, prior: jnp.ndarray,
     return view_weight, selected, weight_norm
 
 
-def neighbour_prior(selected: jnp.ndarray, flags, nview: int) -> jnp.ndarray:
+def neighbour_prior(selected: jnp.ndarray, flags, nview: int,
+                    icx=None, icy=None) -> jnp.ndarray:
     """View-selection prior from the 4 fixed neighbours (DPE.cu:1552-1566):
     +0.9 if the neighbour selected the view, else +0.1, for each neighbour
-    whose direction flag (index 0, 2, 4, 6) holds."""
+    whose direction flag (index 0, 2, 4, 6) holds. ``selected`` is full-res;
+    with ``icx``/``icy`` the prior is evaluated at those sites (flags must
+    share the site shape). Borders are safe either way: the direction flags
+    are False exactly where the neighbour would fall outside."""
     shifts = [(0, -1), (0, 1), (-1, 0), (1, 0)]  # up, down, left, right (dx,dy)
-    prior = jnp.zeros((nview, *selected.shape), jnp.float32)
+    shape = flags.shape[1:]
+    prior = jnp.zeros((nview, *shape), jnp.float32)
     for i, (dx, dy) in enumerate(shifts):
-        nb = support.shift_fill(selected, dy, dx, 0)
+        if icx is None:
+            nb = support.shift_fill(selected, dy, dx, 0)
+        else:
+            nb = _gather2d(selected, icy + dy, icx + dx)
         bits = ((nb[None] >> jnp.arange(nview, dtype=jnp.uint32)[:, None, None])
                 & 1) == 1
         contrib = jnp.where(bits, 0.9, 0.1)
@@ -443,16 +461,16 @@ def neighbour_prior(selected: jnp.ndarray, flags, nview: int) -> jnp.ndarray:
 # Plane refinement (PlaneHypothesisRefinementStrong, DPE.cu:1065-1118)
 # ---------------------------------------------------------------------------
 
-def refine_combos(key, data: SweepData, plane, depth):
+def refine_combos(key, data: SweepData, plane, depth, px=None, py=None):
     """The 5 {depth, normal} refinement combinations (DPE.cu:1093-1095),
-    stacked for a scan. Returns (depths (5, H, W), normals (5, H, W, 3))."""
-    H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
+    stacked for a scan. Returns (depths (5, *B), normals (5, *B, 3))."""
+    if px is None:
+        px, py = geo.pixel_grid(*data.ref_image.shape)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    depth_rand = jax.random.uniform(k1, (H, W), minval=data.depth_min,
+    depth_rand = jax.random.uniform(k1, px.shape, minval=data.depth_min,
                                     maxval=data.depth_max)
     n_rand = planegen.random_normal_facing(k2, data.ref_cam, px, py, depth)
-    depth_pert = jax.random.uniform(k3, (H, W), minval=0.98 * depth,
+    depth_pert = jax.random.uniform(k3, px.shape, minval=0.98 * depth,
                                     maxval=1.02 * depth)
     n_pert = planegen.perturbed_normal(k4, data.ref_cam, px, py,
                                        plane[..., :3], 0.02 * np.pi)
@@ -464,18 +482,19 @@ def refine_combos(key, data: SweepData, plane, depth):
 
 def refine_strong(key, data: SweepData, params: PatchMatchParams,
                   plane, depth, cost, view_weight, weight_norm,
-                  ref_cache=None):
-    H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
+                  ref_cache=None, px=None, py=None, ref_center=None):
+    if px is None:
+        px, py = geo.pixel_grid(*data.ref_image.shape)
     offs = strong_offsets(params)
-    depths, normals = refine_combos(key, data, plane, depth)
+    depths, normals = refine_combos(key, data, plane, depth, px, py)
     wsum = jnp.maximum(weight_norm, 1e-30)
 
     def body(carry, xs):
         plane, depth, cost = carry
         d_i, n_i = xs
         cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
-        costs = ncc_cost_vector(data, cand, offs, ref_cache=ref_cache)
+        costs = ncc_cost_vector(data, cand, offs, ref_cache=ref_cache,
+                                cx=px, cy=py, ref_center=ref_center)
         c = jnp.sum(view_weight * costs, axis=0) / wsum
         d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
         ok = (d_chk >= data.depth_min) & (d_chk <= data.depth_max) & \
@@ -495,30 +514,43 @@ def refine_strong(key, data: SweepData, params: PatchMatchParams,
 # ---------------------------------------------------------------------------
 
 def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
-                     params: PatchMatchParams, it: int):
-    """Full-image strong-pixel proposal; caller applies the checkerboard mask."""
+                     params: PatchMatchParams, it: int, color):
+    """Strong-pixel proposal for one checkerboard color, evaluated on the
+    color's compacted (H, W2) half grid (the reference's W x H/2 launch
+    economy, DPE.cu:3141-3148). Candidate *search* runs full-res (cheap
+    shifts/gathers over the cost map); every NCC evaluation runs at the
+    compacted sites only. Returns compacted (plane, cost, selected,
+    view_weight); the caller scatters back and applies the weak mask."""
     H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
-    xg = px.astype(jnp.int32)
-    yg = py.astype(jnp.int32)
     offs = strong_offsets(params)
     nview = data.num_src
     k_sel, k_ref = jax.random.split(key)
-    cache = strong_ref_cache(data, params)
+
+    # Compacted site coordinates + site-local inputs.
+    ccx, ccy = checker.sites(H, W, color)                    # (H, W2) f32
+    icx = ccx.astype(jnp.int32)
+    icy = ccy.astype(jnp.int32)
+    ref_center_c = checker.compact(data.ref_image, color)
+    plane_now = checker.compact(state.plane, color)          # (H, W2, 4)
+    selected_now = checker.compact(state.selected, color)
+    cache = strong_ref_cache(data, params, ccx, ccy, ref_center_c)
 
     if params.use_edge:
         flags, dxs, dys = edge_candidates(state.cost, data.edge,
                                           sup.edge_steps, it)
     else:
         flags, dxs, dys = classic_candidates(state.cost)
-    flags = jnp.stack(flags)                                 # (8, H, W)
-    dxs = jnp.stack(dxs)
-    dys = jnp.stack(dys)
+    flags = checker.compact_stack(jnp.stack(flags), color)   # (8, H, W2)
+    dxs = checker.compact_stack(jnp.stack(dxs), color)
+    dys = checker.compact_stack(jnp.stack(dys), color)
 
-    cand_planes = _gather2d(state.plane, yg[None] + dys, xg[None] + dxs)
-    cost_array = jax.lax.map(
-        lambda pl: ncc_cost_vector(data, pl, offs, ref_cache=cache),
-        cand_planes)                                              # (8,V,H,W)
+    cand_planes = _gather2d(state.plane, icy[None] + dys, icx[None] + dxs)
+
+    def cost_vec(pl):
+        return ncc_cost_vector(data, pl, offs, ref_cache=cache,
+                               cx=ccx, cy=ccy, ref_center=ref_center_c)
+
+    cost_array = jax.lax.map(cost_vec, cand_planes)          # (8, V, H, W2)
     # Uncomputed directions keep zeroed rows, as the reference's
     # uninitialized cost_array does (DPE.cu:1236; border-only effect).
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
@@ -528,59 +560,59 @@ def propagate_strong(key, data: SweepData, sup: Support, state: PMState,
         itf = jnp.asarray(it, jnp.float32)
         good_thr = 0.8 * jnp.exp(itf * itf / -90.0)
         f2, dx2, dy2 = edge_second_pass_candidates(state.cost, it)
-        f2 = jnp.stack(f2)
-        dx2 = jnp.stack(dx2)
-        dy2 = jnp.stack(dy2)
-        p2 = _gather2d(state.plane, yg[None] + dy2, xg[None] + dx2)
-        c2 = jax.lax.map(
-            lambda pl: ncc_cost_vector(data, pl, offs, ref_cache=cache), p2)
-        good1 = jnp.sum(cost_array < good_thr, axis=1)        # (8, H, W)
+        f2 = checker.compact_stack(jnp.stack(f2), color)
+        dx2 = checker.compact_stack(jnp.stack(dx2), color)
+        dy2 = checker.compact_stack(jnp.stack(dy2), color)
+        p2 = _gather2d(state.plane, icy[None] + dy2, icx[None] + dx2)
+        c2 = jax.lax.map(cost_vec, p2)
+        edge_c = checker.compact(data.edge, color)
+        good1 = jnp.sum(cost_array < good_thr, axis=1)        # (8, H, W2)
         bad1 = jnp.sum(cost_array > 1.2, axis=1)
         c2m = jnp.where(f2[:, None], c2, COST_MAX)
         good2 = jnp.sum(c2m < good_thr, axis=1)
         bad2 = jnp.sum(c2m > 1.2, axis=1)
-        replace = f2 & (~data.edge)[None] & (
+        replace = f2 & (~edge_c)[None] & (
             (~flags) | (good2 > good1) | ((good2 == good1) & (bad2 < bad1)))
         cost_array = jnp.where(replace[:, None], c2, cost_array)
         cand_planes = jnp.where(replace[..., None], p2, cand_planes)
-        flags = flags | (f2 & (~data.edge)[None])
+        flags = flags | (f2 & (~edge_c)[None])
 
-    prior = neighbour_prior(state.selected, flags, nview)
+    prior = neighbour_prior(state.selected, flags, nview, icx=icx, icy=icy)
     view_weight, temp_selected, weight_norm = view_selection(
         k_sel, cost_array, prior, data.view_valid, it)
     wsum = jnp.maximum(weight_norm, 1e-30)
 
     final_costs = jnp.sum(view_weight[None] * cost_array, axis=1) / wsum[None]
 
-    min_idx = jnp.argmin(final_costs, axis=0)                # (H, W)
+    min_idx = jnp.argmin(final_costs, axis=0)                # (H, W2)
     min_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
     min_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
     min_plane = jnp.take_along_axis(
         cand_planes, min_idx[None, ..., None], axis=0)[0]
 
-    cost_now_vec = ncc_cost_vector(data, state.plane, offs, ref_cache=cache)
+    cost_now_vec = cost_vec(plane_now)
     cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum
     cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
     stored_cost = cost_now
 
-    depth_now = geo.depth_from_plane(data.ref_cam, state.plane, px, py)
-    depth_before = geo.depth_from_plane(data.ref_cam, min_plane, px, py)
+    depth_now = geo.depth_from_plane(data.ref_cam, plane_now, ccx, ccy)
+    depth_before = geo.depth_from_plane(data.ref_cam, min_plane, ccx, ccy)
     accept = min_flag & (depth_before >= data.depth_min) & \
         (depth_before <= data.depth_max) & (min_cost < cost_now)
 
-    plane = jnp.where(accept[..., None], min_plane, state.plane)
+    plane = jnp.where(accept[..., None], min_plane, plane_now)
     depth = jnp.where(accept, depth_before, depth_now)
     cost = jnp.where(accept, min_cost, cost_now)
-    selected = jnp.where(accept, temp_selected, state.selected)
+    selected = jnp.where(accept, temp_selected, selected_now)
 
     plane, depth, cost = refine_strong(
         k_ref, data, params, plane, depth, cost, view_weight, weight_norm,
-        ref_cache=cache)
+        ref_cache=cache, px=ccx, py=ccy, ref_center=ref_center_c)
 
     if params.state == RunState.REFINE_INIT:
         # Hysteresis: protect the upsampled prior (DPE.cu:1656-1665).
         accept_final = cost < stored_cost - 0.1
-        plane = jnp.where(accept_final[..., None], plane, state.plane)
+        plane = jnp.where(accept_final[..., None], plane, plane_now)
         cost = jnp.where(accept_final, cost, stored_cost)
 
     return plane, cost, selected, view_weight

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PatchMatchParams, PixelState
+from ..ops import checker
 from ..ops import support as sup_ops
 from . import patchmatch as pm
 from .state import PMState, SweepData
@@ -88,18 +89,22 @@ def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
 
     base_key = nk()
 
-    def apply_masked(state, mask, plane, cost, selected, view_weight):
+    def apply_compacted(state, mask, color, plane_c, cost_c, selected_c,
+                        view_weight_c):
+        """Scatter one color's compacted proposal back into full-res state;
+        ``mask`` (full-res) further restricts to the strong/weak population
+        (non-site pixels are untouched by construction of scatter)."""
+        plane_n = checker.scatter(state.plane, plane_c, color)
+        cost_n = checker.scatter(state.cost, cost_c, color)
+        sel_n = checker.scatter(state.selected, selected_c, color)
+        vw_n = checker.scatter(
+            state.view_weight, jnp.moveaxis(view_weight_c, 0, -1), color)
         return state._replace(
-            plane=jnp.where(mask[..., None], plane, state.plane),
-            cost=jnp.where(mask, cost, state.cost),
-            selected=jnp.where(mask, selected, state.selected),
-            view_weight=jnp.where(
-                mask[..., None], jnp.moveaxis(view_weight, 0, -1),
-                state.view_weight),
+            plane=jnp.where(mask[..., None], plane_n, state.plane),
+            cost=jnp.where(mask, cost_n, state.cost),
+            selected=jnp.where(mask, sel_n, state.selected),
+            view_weight=jnp.where(mask[..., None], vw_n, state.view_weight),
         )
-
-    xgrid = jnp.arange(W)[None, :]
-    ygrid = jnp.arange(H)[:, None]
 
     def iteration_body(state, it):
         key_it = jax.random.fold_in(base_key, it)
@@ -108,9 +113,8 @@ def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
         def strong_color(state, color):
             out = pm.propagate_strong(
                 jax.random.fold_in(key_it, color), data, sup, state, params,
-                it)
-            mask = (((xgrid + ygrid) % 2) == color) & (state.weak != WEAK)
-            return apply_masked(state, mask, *out), None
+                it, color)
+            return apply_compacted(state, state.weak != WEAK, color, *out), None
 
         state, _ = jax.lax.scan(strong_color, state, jnp.arange(2))
 
@@ -122,9 +126,9 @@ def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
             def weak_color(state, color):
                 out = weak_ops.propagate_weak(
                     jax.random.fold_in(key_it, 3 + color), data, sup_it,
-                    state, params, it)
-                mask = (((xgrid + ygrid) % 2) == color) & (state.weak == WEAK)
-                return apply_masked(state, mask, *out), None
+                    state, params, it, color)
+                return apply_compacted(
+                    state, state.weak == WEAK, color, *out), None
 
             state, _ = jax.lax.scan(weak_color, state, jnp.arange(2))
         return state, None

@@ -1,8 +1,10 @@
 """Weak-texture machinery: deformable NCC, per-iteration plane fit, weak
 propagation (reference C8: DPE.cu:557-690, 1668-1862, 2891-3124).
 
-All functions evaluate dense (H, W) proposals; the sweep driver masks them to
-the weak checkerboard half. ``sup.neighbours`` holds the 8 deformable strong
+Propagation evaluates one checkerboard color at a time on its compacted
+(H, ceil(W/2)) half grid (see :mod:`.checker`), mirroring the reference's
+W x H/2 red-black launches; the sweep driver scatters results back and masks
+to the weak population. ``sup.neighbours`` holds the 8 deformable strong
 anchors per pixel from :mod:`..ops.anchors`.
 """
 from __future__ import annotations
@@ -30,63 +32,65 @@ def weak_offsets(params: PatchMatchParams) -> np.ndarray:
     return ncc.window_offsets(params.weak_radius, params.weak_increment)
 
 
-def make_deformable_caches(data: SweepData, sup, params: PatchMatchParams):
-    """Ref-side caches for the deformable NCC: the adaptive-radius center
-    window (changes with sup.radius each iteration) and the 8 anchor windows
-    (fixed per sweep). Shared across the ~15 cost evaluations per weak
-    propagation step and all views."""
-    from ..geometry import cameras as _geo
-    H, W = data.ref_image.shape
-    px, py = _geo.pixel_grid(H, W)
-    scale = None
-    if params.use_radius and sup.radius is not None:
-        scale = sup.radius / float(params.strong_radius)
-    offs_strong = ncc.window_offsets(params.strong_radius,
-                                     params.strong_increment)
-    offs_weak = weak_offsets(params)
-    anchors = sup.neighbours
-    anchor_x = anchors[..., 0].astype(jnp.float32)
-    anchor_y = anchors[..., 1].astype(jnp.float32)
-    cache_center = ncc.make_ref_cache(
-        data.ref_image, px, py, offs_strong, 5.0, 3.0, data.ref_image,
-        scale=scale)
-    cache_anchor = ncc.make_ref_cache(
-        data.ref_image, anchor_x, anchor_y, offs_weak, 5.0, 3.0,
-        data.ref_image)
-    return cache_center, cache_anchor
+class DeformableSites:
+    """Site-local inputs of the deformable NCC for one checkerboard color.
+
+    Everything the cost needs at the compacted (H, W2) weak sites: window
+    centers, the ref image value there (the bilateral color anchor,
+    DPE.cu:585), the 8 deformable anchors and their selected-view masks, the
+    adaptive radius scale, and the two ref-side window caches."""
+
+    def __init__(self, data: SweepData, sup, state: PMState,
+                 params: PatchMatchParams, color):
+        from . import checker
+        H, W = data.ref_image.shape
+        self.cx, self.cy = checker.sites(H, W, color)          # (H, W2) f32
+        self.ref_center = checker.compact(data.ref_image, color)
+        anchors = checker.compact_stack(sup.neighbours, color)  # (8,H,W2,2)
+        self.anchor_valid = anchors[..., 0] >= 0               # (8, H, W2)
+        self.anchor_x = anchors[..., 0].astype(jnp.float32)
+        self.anchor_y = anchors[..., 1].astype(jnp.float32)
+        self.anchor_sel = sampling.gather_map(
+            state.selected, anchors[..., 1], anchors[..., 0])  # (8, H, W2)
+        self.scale = None
+        if params.use_radius and sup.radius is not None:
+            self.scale = checker.compact(sup.radius, color) / \
+                float(params.strong_radius)
+
+        offs_strong = ncc.window_offsets(params.strong_radius,
+                                         params.strong_increment)
+        offs_weak = weak_offsets(params)
+        self.cache_center = ncc.make_ref_cache(
+            data.ref_image, self.cx, self.cy, offs_strong, 5.0, 3.0,
+            self.ref_center, scale=self.scale)
+        self.cache_anchor = ncc.make_ref_cache(
+            data.ref_image, self.anchor_x, self.anchor_y, offs_weak, 5.0,
+            3.0, self.ref_center)
 
 
 def deformable_cost_vector(
     data: SweepData,
-    sup,
-    state: PMState,
+    sites: DeformableSites,
     plane: jnp.ndarray,
     params: PatchMatchParams,
-    caches=None,
 ) -> jnp.ndarray:
-    """(V, H, W) deformable NCC (``ComputeBilateralNCCNew``, DPE.cu:557-690):
+    """(V, H, W2) deformable NCC (``ComputeBilateralNCCNew``, DPE.cu:557-690):
     0.25 * center window (adaptive radius) + 0.75 * mean over up-to-8 strong
-    anchor windows, all warped by the *candidate's* plane homography."""
+    anchor windows, all warped by the *candidate's* plane homography.
+    ``plane`` is the candidate plane field at the compacted sites."""
     H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
+    px, py = sites.cx, sites.cy
     offs_strong = ncc.window_offsets(params.strong_radius, params.strong_increment)
     offs_weak = weak_offsets(params)
     nview = data.num_src
 
-    scale = None
-    if params.use_radius and sup.radius is not None:
-        scale = sup.radius / float(params.strong_radius)
-
-    anchors = sup.neighbours                     # (8, H, W, 2)
-    anchor_valid = anchors[..., 0] >= 0          # (8, H, W)
-    anchor_x = anchors[..., 0].astype(jnp.float32)
-    anchor_y = anchors[..., 1].astype(jnp.float32)
-    anchor_sel = sampling.gather_map(
-        state.selected, anchors[..., 1], anchors[..., 0])   # (8, H, W)
-
-    if caches is None:
-        caches = make_deformable_caches(data, sup, params)
-    cache_center, cache_anchor = caches
+    scale = sites.scale
+    anchor_valid = sites.anchor_valid
+    anchor_x = sites.anchor_x
+    anchor_y = sites.anchor_y
+    anchor_sel = sites.anchor_sel
+    cache_center = sites.cache_center
+    cache_anchor = sites.cache_anchor
 
     def body(_, xs):
         img, K, R_rel, t_rel, valid, v_idx = xs
@@ -95,7 +99,7 @@ def deformable_cost_vector(
                                      px, py)
         c0 = ncc.bilateral_ncc(
             data.ref_image, img, hom_c, px, py, offs_strong, 5.0, 3.0,
-            data.ref_image, scale=scale, ref_cache=cache_center,
+            sites.ref_center, scale=scale, ref_cache=cache_center,
         )
         # Center warp out of source image -> whole cost is COST_MAX
         # (DPE.cu:577-580); bilateral_ncc already returns COST_MAX then.
@@ -105,8 +109,8 @@ def deformable_cost_vector(
                                      anchor_x, anchor_y)
         ck = ncc.bilateral_ncc(
             data.ref_image, img, hom_k, anchor_x, anchor_y,
-            offs_weak, 5.0, 3.0, data.ref_image,
-            ref_cache=cache_anchor)                          # (8, H, W)
+            offs_weak, 5.0, 3.0, sites.ref_center,
+            ref_cache=cache_anchor)                          # (8, H, W2)
         wx, wy = hom_k.at_offset(jnp.zeros(()), jnp.zeros(()))
         oob = (wx < 0) | (wy < 0) | (wx >= W) | (wy >= H)
         sel_here = ((anchor_sel >> v_idx.astype(jnp.uint32)) & 1) == 1
@@ -131,9 +135,9 @@ def deformable_cost_vector(
     return costs
 
 
-def _geom_vec(data, plane):
+def _geom_vec(data, plane, px=None, py=None):
     from ..engine import patchmatch as pm
-    return pm.geom_cost_vector(data, plane)
+    return pm.geom_cost_vector(data, plane, px, py)
 
 
 def fit_plane_ransac(key, data: SweepData, sup, state: PMState,
@@ -324,35 +328,38 @@ def fit_plane_ransac(key, data: SweepData, sup, state: PMState,
 
 
 def propagate_weak(key, data: SweepData, sup, state: PMState,
-                   params: PatchMatchParams, it: int):
+                   params: PatchMatchParams, it: int, color):
     """Weak-pixel checkerboard propagation (``CheckerboardPropagationWeak``,
-    DPE.cu:1668-1862). Dense proposal; caller masks."""
+    DPE.cu:1668-1862) for one color, evaluated on its compacted (H, W2) half
+    grid. Returns compacted proposals; the caller scatters + masks."""
     from ..engine import patchmatch as pm
+    from . import checker
 
     H, W = data.ref_image.shape
-    px, py = geo.pixel_grid(H, W)
     nview = data.num_src
     k_sel, k_ref = jax.random.split(key)
     geom = params.geom_consistency
 
-    anchors = sup.neighbours
-    a_x = anchors[..., 0]                                    # (8, H, W)
-    a_y = anchors[..., 1]
-    a_valid = a_x >= 0
+    sites = DeformableSites(data, sup, state, params, color)
+    px, py = sites.cx, sites.cy                              # (H, W2)
+    plane_now = checker.compact(state.plane, color)
+    selected_now = checker.compact(state.selected, color)
+
+    a_x = sites.anchor_x.astype(jnp.int32)                   # (8, H, W2)
+    a_y = sites.anchor_y.astype(jnp.int32)
+    a_valid = sites.anchor_valid
     a_weak = sampling.gather_map(state.weak, a_y, a_x)
-    flags = a_valid & (a_weak == STRONG)                     # (8, H, W)
-    cand_planes = sampling.gather_map(state.plane, a_y, a_x)  # (8, H, W, 4)
-    caches = make_deformable_caches(data, sup, params)
+    flags = a_valid & (a_weak == STRONG)                     # (8, H, W2)
+    cand_planes = sampling.gather_map(state.plane, a_y, a_x)  # (8,H,W2,4)
     cost_array = jax.lax.map(
-        lambda pl: deformable_cost_vector(data, sup, state, pl, params,
-                                          caches=caches),
-        cand_planes)                                          # (8, V, H, W)
+        lambda pl: deformable_cost_vector(data, sites, pl, params),
+        cand_planes)                                          # (8, V, H, W2)
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
     # Priors from all non-(-1) anchors (DPE.cu:1717-1730).
-    a_sel = sampling.gather_map(state.selected, a_y, a_x)     # (8, H, W)
+    a_sel = sites.anchor_sel                                  # (8, H, W2)
     bits = ((a_sel[:, None] >> jnp.arange(nview, dtype=jnp.uint32)
-             [None, :, None, None]) & 1) == 1                 # (8, V, H, W)
+             [None, :, None, None]) & 1) == 1                 # (8, V, H, W2)
     prior = jnp.sum(jnp.where(a_valid[:, None],
                               jnp.where(bits, 0.9, 0.1), 0.0), axis=0)
 
@@ -361,7 +368,8 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     wsum = jnp.maximum(weight_norm, 1e-30)
 
     if geom:
-        geom_rows = jax.lax.map(lambda pl: _geom_vec(data, pl), cand_planes)
+        geom_rows = jax.lax.map(lambda pl: _geom_vec(data, pl, px, py),
+                                cand_planes)
         geom_rows = jnp.where(flags[:, None], geom_rows, GEOM_COST_MAX)
         cost_array = cost_array + params.geom_factor * geom_rows
 
@@ -373,34 +381,32 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     min_plane = jnp.take_along_axis(cand_planes, min_idx[None, ..., None],
                                     0)[0]
 
-    cost_now_vec = deformable_cost_vector(data, sup, state, state.plane,
-                                          params, caches=caches)
+    cost_now_vec = deformable_cost_vector(data, sites, plane_now, params)
     if geom:
         cost_now_vec = cost_now_vec + params.geom_factor * _geom_vec(
-            data, state.plane)
+            data, plane_now, px, py)
     cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum
     cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
     stored_cost = cost_now
 
-    depth_now = geo.depth_from_plane(data.ref_cam, state.plane, px, py)
+    depth_now = geo.depth_from_plane(data.ref_cam, plane_now, px, py)
     depth_before = geo.depth_from_plane(data.ref_cam, min_plane, px, py)
     accept = min_flag & (depth_before >= data.depth_min) & \
         (depth_before <= data.depth_max) & (min_cost < cost_now)
 
-    plane = jnp.where(accept[..., None], min_plane, state.plane)
+    plane = jnp.where(accept[..., None], min_plane, plane_now)
     depth = jnp.where(accept, depth_before, depth_now)
     cost = jnp.where(accept, min_cost, cost_now)
-    selected = jnp.where(accept, temp_selected, state.selected)
+    selected = jnp.where(accept, temp_selected, selected_now)
 
     # Refinement (PlaneHypothesisRefinementWeak, DPE.cu:1120-1212).
     def eval_weighted(cand):
-        c = deformable_cost_vector(data, sup, state, cand, params,
-                                   caches=caches)
+        c = deformable_cost_vector(data, sites, cand, params)
         if geom:
-            c = c + params.geom_factor * _geom_vec(data, cand)
+            c = c + params.geom_factor * _geom_vec(data, cand, px, py)
         return jnp.sum(view_weight * c, axis=0) / wsum
 
-    fit = sup.fit_plane
+    fit = checker.compact(sup.fit_plane, color)
     fit_nonzero = jnp.any(fit[..., :3] != 0.0, axis=-1)
     c_fit = eval_weighted(fit)
     d_fit = geo.depth_from_plane(data.ref_cam, fit, px, py)
@@ -410,7 +416,7 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
     depth = jnp.where(ok, d_fit, depth)
     cost = jnp.where(ok, c_fit, cost)
 
-    depths_c, normals_c = pm.refine_combos(k_ref, data, plane, depth)
+    depths_c, normals_c = pm.refine_combos(k_ref, data, plane, depth, px, py)
 
     def refine_body(carry, xs):
         plane, depth, cost = carry
@@ -430,13 +436,14 @@ def propagate_weak(key, data: SweepData, sup, state: PMState,
 
     if params.state == RunState.REFINE_INIT:
         accept_final = cost < stored_cost - 0.1
-        plane = jnp.where(accept_final[..., None], plane, state.plane)
+        plane = jnp.where(accept_final[..., None], plane, plane_now)
 
     # Re-express the stored cost with the standard strong NCC so weak and
     # strong costs are comparable during propagation (DPE.cu:1845-1861).
     offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
-    final_vec = pm.ncc_cost_vector(data, plane, offs,
-                                   ref_cache=pm.strong_ref_cache(data, params))
+    final_vec = pm.ncc_cost_vector(
+        data, plane, offs, cx=px, cy=py, ref_center=sites.ref_center,
+        ref_cache=pm.strong_ref_cache(data, params, px, py, sites.ref_center))
     final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
     final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
 
