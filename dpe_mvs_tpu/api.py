@@ -57,8 +57,10 @@ def dpe_mvs(
                     dense_folder, verbose=verbose, fusion=fusion, viz=viz,
                     depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg,
                     resume=resume)
-    except (OSError, ValueError) as e:
-        # Reference parity: scene/input errors surface as RuntimeError
+    except (KeyboardInterrupt, RuntimeError):
+        raise
+    except Exception as e:
+        # Reference parity: any pipeline failure surfaces as RuntimeError
         # (csrc/bindings.cpp:27 turns any nonzero return into RuntimeError).
         raise RuntimeError(f"DPE-MVS failed: {e}") from e
     if ret != 0:

@@ -1,0 +1,225 @@
+"""Staged sweep executor: ``run_sweep`` split into separately-jitted stages.
+
+The monolithic one-jit sweep (engine/sweep.py) traces the reference's whole
+15-kernel pipeline (DPE.cu:3126-3249) into a single XLA module. That is the
+fastest dispatch path once compiled, but the compile unit grows with the
+stage count and the remote TPU compile service handles many small modules far
+better than one huge one; a single module also gives no fault isolation when
+one stage miscompiles or faults on device.
+
+This module runs the *same* computation as ``run_sweep`` — bit-identical,
+asserted by tests/test_stages.py — as a handful of separately-jitted stages:
+
+  support -> init -> [strong-iter -> weak-iter] x N -> finish -> classify
+  -> refine
+
+The iteration index ``it`` and all PRNG keys enter as device values, so one
+compiled strong-iter executable serves every iteration of every sweep with
+the same (shape, params) signature. Stages donate their state input, keeping
+peak HBM at one live copy of the mutable state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PatchMatchParams, PixelState
+from ..ops import checker
+from . import patchmatch as pm
+from . import sweep as sweep_mod
+from .state import PMState, SweepData
+
+WEAK = int(PixelState.WEAK)
+
+
+def _hard_sync(out) -> None:
+    """Force completion with a host readback.
+
+    On the axon remote backend ``jax.block_until_ready`` returns before the
+    device work is done, so stage timings must round-trip a value to the
+    host. A scalar sum of one float leaf keeps the readback tiny."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            np.asarray(jax.device_get(jnp.sum(leaf)))
+            return
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        np.asarray(jax.device_get(leaves[0]))
+
+
+# ---------------------------------------------------------------------------
+# Stage bodies (pure functions of (data, [sup,] state, ...); params static)
+# ---------------------------------------------------------------------------
+
+def _support_stage(data: SweepData, state: PMState, key,
+                   params: PatchMatchParams):
+    return sweep_mod.build_support(data, state, params, key)
+
+
+def _init_stage(data: SweepData, state: PMState, params: PatchMatchParams):
+    return pm.initialize(data, state, params)
+
+
+def _strong_iter(data: SweepData, sup: pm.Support, state: PMState,
+                 it, key_it, params: PatchMatchParams):
+    """One propagation iteration over strong pixels, both checkerboard
+    colors (matches the strong_color scan of run_sweep)."""
+
+    def strong_color(state, color):
+        out = pm.propagate_strong(
+            jax.random.fold_in(key_it, color), data, sup, state, params,
+            it, color)
+        return sweep_mod.apply_compacted(
+            state, state.weak != WEAK, color, *out), None
+
+    state, _ = jax.lax.scan(strong_color, state, jnp.arange(2))
+    return state
+
+
+def _weak_iter(data: SweepData, sup: pm.Support, state: PMState,
+               it, key_it, params: PatchMatchParams):
+    """Fit-plane RANSAC + weak propagation for both colors (matches the
+    use_APD branch of run_sweep's iteration body)."""
+    from ..ops import weak as weak_ops
+
+    sup_it = sup._replace(**weak_ops.fit_plane_ransac(
+        jax.random.fold_in(key_it, 2), data, sup, state, params))
+
+    def weak_color(state, color):
+        out = weak_ops.propagate_weak(
+            jax.random.fold_in(key_it, 3 + color), data, sup_it,
+            state, params, it, color)
+        return sweep_mod.apply_compacted(
+            state, state.weak == WEAK, color, *out), None
+
+    state, _ = jax.lax.scan(weak_color, state, jnp.arange(2))
+    return state
+
+
+def _finish_stage(data: SweepData, state: PMState, params: PatchMatchParams):
+    """Plane -> world frame + red/black strong median filter
+    (DPE.cu:3214-3220)."""
+    H, W = data.ref_image.shape
+    state = state._replace(plane=pm.to_world_depth(data, state.plane))
+    for color in (0, 1):
+        new_depth = pm.median_filter_depth(data, state.plane, state.cost,
+                                           state.weak)
+        mask = sweep_mod.checkerboard_mask(H, W, color) & (state.weak != WEAK)
+        state = state._replace(
+            plane=state.plane.at[..., 3].set(
+                jnp.where(mask, new_depth, state.plane[..., 3])))
+    return state
+
+
+def _classify_stage(data: SweepData, state: PMState,
+                    params: PatchMatchParams):
+    """DepthToWeak reclassification (DPE.cu:3222)."""
+    return state._replace(weak=pm.depth_to_weak(data, state, params))
+
+
+def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams):
+    """LocalRefine depth polish (DPE.cu:3225)."""
+    new_depth = pm.local_refine(data, state, params)
+    return state._replace(plane=state.plane.at[..., 3].set(new_depth))
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points. jax.jit caches per (shape signature, params), so these
+# module-level wrappers are the executable cache. State inputs are donated
+# in the iteration/post stages (their input state is always a dead temporary
+# produced by the previous stage).
+# ---------------------------------------------------------------------------
+
+_support_j = jax.jit(_support_stage, static_argnames=("params",))
+_init_j = jax.jit(_init_stage, static_argnames=("params",),
+                  donate_argnums=(1,))
+_strong_j = jax.jit(_strong_iter, static_argnames=("params",),
+                    donate_argnums=(2,))
+_weak_j = jax.jit(_weak_iter, static_argnames=("params",),
+                  donate_argnums=(2,))
+_finish_j = jax.jit(_finish_stage, static_argnames=("params",),
+                    donate_argnums=(1,))
+_classify_j = jax.jit(_classify_stage, static_argnames=("params",),
+                      donate_argnums=(1,))
+_refine_j = jax.jit(_refine_stage, static_argnames=("params",),
+                    donate_argnums=(1,))
+
+STAGES = {
+    "support": _support_j,
+    "init": _init_j,
+    "strong": _strong_j,
+    "weak": _weak_j,
+    "finish": _finish_j,
+    "classify": _classify_j,
+    "refine": _refine_j,
+}
+
+
+def run_sweep_staged(
+    data: SweepData,
+    state: PMState,
+    params: PatchMatchParams,
+    *,
+    timer=None,
+    block: bool = False,
+    skip=frozenset(),
+) -> PMState:
+    """One full PatchMatch sweep as a sequence of jitted stage dispatches.
+
+    Computes exactly what :func:`..engine.sweep.run_sweep` computes (same key
+    schedule, same stage order); ``timer`` is an optional
+    :class:`..utils.profiling.StageTimer` — when given, each stage is timed
+    with a device sync (``block`` is then implied per stage).
+    """
+    # Key schedule identical to run_sweep: keys[0] -> support, keys[1] ->
+    # iteration base, keys[-1] -> next sweep's key.
+    keys = jax.random.split(state.key, 32)
+
+    def timed(name, fn, *args):
+        if name in skip:  # probe-only escape hatch (tools/tpu_probe.py):
+            # identity on the state operand (strong/weak take it 3rd).
+            if name == "support":
+                return sup, args[1]
+            return args[2] if name in ("strong", "weak") else args[1]
+        if timer is None:
+            return fn(*args)
+        with timer.span(name):
+            out = fn(*args)
+            _hard_sync(out)
+        return out
+
+    # The donated stages would invalidate the caller's state buffers; copy
+    # once up front so the caller keeps ownership of its input.
+    state = jax.tree.map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state)
+
+    sup = pm.Support(*([None] * len(pm.Support._fields)))
+    if params.use_APD or params.use_edge:
+        sup, state = timed("support", _support_j, data, state, keys[0],
+                           params)
+
+    state = timed("init", _init_j, data, state, params)
+
+    base_key = keys[1]
+    for it in range(params.max_iterations):
+        it_dev = jnp.int32(it)
+        key_it = jax.random.fold_in(base_key, it_dev)
+        state = timed("strong", _strong_j, data, sup, state, it_dev, key_it,
+                      params)
+        if params.use_APD:
+            state = timed("weak", _weak_j, data, sup, state, it_dev, key_it,
+                          params)
+
+    state = timed("finish", _finish_j, data, state, params)
+    state = timed("classify", _classify_j, data, state, params)
+    state = timed("refine", _refine_j, data, state, params)
+    state = state._replace(key=keys[-1])
+    if block:
+        jax.block_until_ready(state.plane)
+    return state

@@ -85,6 +85,9 @@ def build_sweep_data(
     n_src = inputs.images.shape[0] - 1
     H, W = inputs.height, inputs.width
 
+    # All prep math in NumPy: on a remote-compile backend every eager jnp op
+    # is a separately-compiled module (10-60s latency each on axon); the
+    # device should only ever see final jnp.asarray transfers here.
     ref_c = inputs.cameras[0]
     ref_cam = geo.Camera(
         K=jnp.asarray(ref_c.K), R=jnp.asarray(ref_c.R), t=jnp.asarray(ref_c.t)
@@ -101,12 +104,14 @@ def build_sweep_data(
     src_t = pad_views(src_t, v_pad)
     src_cams = geo.Camera(K=jnp.asarray(src_K), R=jnp.asarray(src_R), t=jnp.asarray(src_t))
 
-    R_rel, t_rel = geo.relative_transform(
-        geo.Camera(K=ref_cam.K[None], R=ref_cam.R[None], t=ref_cam.t[None]),
-        src_cams,
-    )
-    center_ref = np.asarray(ref_cam.center)
-    centers_src = np.asarray(src_cams.center)
+    # R_rel = R_src R_ref^T; t_rel = R_src (c_ref - c_src); c = -R^T t
+    # (hoisted from ComputeHomography, DPE.cu:455-481).
+    R_ref = np.asarray(ref_c.R, np.float32)
+    t_ref = np.asarray(ref_c.t, np.float32)
+    center_ref = -R_ref.T @ t_ref
+    centers_src = -np.einsum("vij,vi->vj", src_R, src_t)
+    R_rel = np.einsum("vik,jk->vij", src_R, R_ref)
+    t_rel = np.einsum("vij,vj->vi", src_R, center_ref[None] - centers_src)
     baseline = np.linalg.norm(center_ref[None, :] - centers_src, axis=-1)
 
     valid = np.zeros((v_pad,), bool)

@@ -38,18 +38,22 @@ def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
     H, W = data.ref_image.shape
     max_steps = 1 << int(np.ceil(np.log2(max(H, W))))
 
+    # Support maps are built only for their actual consumers (the reference
+    # similarly gates GenEdgeInform/GenNeighbours on use_edge/use_APD,
+    # DPE.cu:3153-3171): edge_steps feeds edge_candidates (use_edge) and the
+    # anchor search; label_runs/los feed only the anchor search (use_APD).
     edge_steps = None
     complexity = None
     label_runs = None
     los = None
-    if params.use_edge or params.use_limit:
+    if params.use_edge or (params.use_APD and params.use_limit):
         edge_steps = sup_ops.edge_steps(data.edge, max_steps)
     if params.use_edge:
         complexity = sup_ops.complexity_map(
             data.edge, data.label, params.strong_radius, params.use_label)
-    if params.use_label:
+    if params.use_APD and params.use_label:
         label_runs = sup_ops.label_run_length(data.label, max_steps)
-    if params.use_limit:
+    if params.use_APD and params.use_limit:
         los = sup_ops.build_line_of_sight(
             data.edge_low, W, H, params.high_res_img)
 
@@ -73,6 +77,24 @@ def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
     ), state
 
 
+def apply_compacted(state, mask, color, plane_c, cost_c, selected_c,
+                    view_weight_c):
+    """Scatter one color's compacted proposal back into full-res state;
+    ``mask`` (full-res) further restricts to the strong/weak population
+    (non-site pixels are untouched by construction of scatter)."""
+    plane_n = checker.scatter(state.plane, plane_c, color)
+    cost_n = checker.scatter(state.cost, cost_c, color)
+    sel_n = checker.scatter(state.selected, selected_c, color)
+    vw_n = checker.scatter(
+        state.view_weight, jnp.moveaxis(view_weight_c, 0, -1), color)
+    return state._replace(
+        plane=jnp.where(mask[..., None], plane_n, state.plane),
+        cost=jnp.where(mask, cost_n, state.cost),
+        selected=jnp.where(mask, sel_n, state.selected),
+        view_weight=jnp.where(mask[..., None], vw_n, state.view_weight),
+    )
+
+
 def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
               ) -> PMState:
     """One full PatchMatch sweep (state -> state). ``params`` must be static
@@ -88,23 +110,6 @@ def run_sweep(data: SweepData, state: PMState, params: PatchMatchParams
     state = pm.initialize(data, state, params)
 
     base_key = nk()
-
-    def apply_compacted(state, mask, color, plane_c, cost_c, selected_c,
-                        view_weight_c):
-        """Scatter one color's compacted proposal back into full-res state;
-        ``mask`` (full-res) further restricts to the strong/weak population
-        (non-site pixels are untouched by construction of scatter)."""
-        plane_n = checker.scatter(state.plane, plane_c, color)
-        cost_n = checker.scatter(state.cost, cost_c, color)
-        sel_n = checker.scatter(state.selected, selected_c, color)
-        vw_n = checker.scatter(
-            state.view_weight, jnp.moveaxis(view_weight_c, 0, -1), color)
-        return state._replace(
-            plane=jnp.where(mask[..., None], plane_n, state.plane),
-            cost=jnp.where(mask, cost_n, state.cost),
-            selected=jnp.where(mask, sel_n, state.selected),
-            view_weight=jnp.where(mask[..., None], vw_n, state.view_weight),
-        )
 
     def iteration_body(state, it):
         key_it = jax.random.fold_in(base_key, it)

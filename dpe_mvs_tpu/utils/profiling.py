@@ -21,9 +21,10 @@ from typing import Dict, Iterator, Optional
 class StageTimer:
     """Accumulates wall-clock time per named stage."""
 
-    def __init__(self) -> None:
+    def __init__(self, echo: bool = False) -> None:
         self.totals: Dict[str, float] = collections.defaultdict(float)
         self.counts: Dict[str, int] = collections.defaultdict(int)
+        self.echo = echo
 
     @contextlib.contextmanager
     def span(self, name: str) -> Iterator[None]:
@@ -34,6 +35,8 @@ class StageTimer:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            if self.echo:
+                print(f"    [{name}] {dt:.2f}s", flush=True)
 
     def summary(self) -> str:
         rows = sorted(self.totals.items(), key=lambda kv: -kv[1])

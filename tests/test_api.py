@@ -54,3 +54,30 @@ def test_round_num():
     assert compute_round_num(640, 480, cfg) == 2   # min 2 rounds
     assert compute_round_num(6048, 4032, cfg) == 4
     assert compute_round_num(1600, 1200, cfg) == 2
+
+
+def test_error_parity_runtimeerror(tmp_path):
+    """Any pipeline failure must surface as RuntimeError, as the reference
+    bindings turn every nonzero return into one (csrc/bindings.cpp:27)."""
+    import pytest
+    from dpe_mvs_tpu import dpe_mvs
+    from dpe_mvs_tpu.utils.synthetic import make_plane_scene
+
+    # Missing dense folder entirely.
+    with pytest.raises(RuntimeError):
+        dpe_mvs(str(tmp_path / "nonexistent"))
+
+    # Corrupt cam.txt.
+    sc = make_plane_scene(str(tmp_path / "a"), width=48, height=36,
+                          num_views=3, seed=0)
+    cam = tmp_path / "a" / "cams" / "00000000_cam.txt"
+    cam.write_text("extrinsic\nnot a number\n")
+    with pytest.raises(RuntimeError):
+        dpe_mvs(sc.folder)
+
+    # Missing image.
+    sc2 = make_plane_scene(str(tmp_path / "b"), width=48, height=36,
+                           num_views=3, seed=0)
+    (tmp_path / "b" / "images" / "00000001.jpg").unlink()
+    with pytest.raises(RuntimeError):
+        dpe_mvs(sc2.folder)

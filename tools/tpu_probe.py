@@ -1,0 +1,94 @@
+"""Per-stage TPU probe: compile + execute each sweep stage at a given size.
+
+Usage: python tools/tpu_probe.py [WIDTH HEIGHT VIEWS [apd|noapd] [geom]]
+
+Runs the staged sweep (engine/stages.py) with a StageTimer, printing per-stage
+wall-clock for the first (compile) and second (steady-state) sweep. The tool
+exists to localize compile wedges / device faults to a single stage
+(VERDICT round 1: the monolithic 800x600x6 sweep faulted with no attribution).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from dpe_mvs_tpu.utils import jaxconfig
+
+jaxconfig.setup()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import tempfile
+    from dpe_mvs_tpu.config import PatchMatchParams, RunState, schedule_params
+    from dpe_mvs_tpu.engine import state as st_mod
+    from dpe_mvs_tpu.engine.stages import run_sweep_staged
+    from dpe_mvs_tpu.io import scene as scene_mod
+    from dpe_mvs_tpu.utils.profiling import StageTimer
+    from dpe_mvs_tpu.utils.synthetic import make_plane_scene
+
+    args = sys.argv[1:]
+    width = int(args[0]) if len(args) > 0 else 800
+    height = int(args[1]) if len(args) > 1 else 600
+    views = int(args[2]) if len(args) > 2 else 6
+    apd = len(args) > 3 and args[3] == "apd"
+    geom = len(args) > 4 and args[4] == "geom"
+    skip = set((args[5] if len(args) > 5 else "").split(","))
+
+    print(f"devices: {jax.devices()}", flush=True)
+    t0 = time.time()
+    folder = tempfile.mkdtemp(prefix="dpe_probe_")
+    sc = make_plane_scene(folder, width=width, height=height,
+                          num_views=views, seed=3)
+    problems = scene_mod.generate_sample_list(sc.folder)
+    inputs = scene_mod.load_problem_inputs(
+        problems[0], 1, need_prior=False, need_weak=False,
+        need_src_depths=False)
+    print(f"host scene gen in {time.time() - t0:.1f}s", flush=True)
+    t0b = time.time()
+    v_pad = views - 1
+    data = st_mod.build_sweep_data(inputs, v_pad)
+    print(f"device data build in {time.time() - t0b:.1f}s", flush=True)
+    if geom:
+        mid = 0.5 * (inputs.depth_min + inputs.depth_max)
+        import numpy as _np
+        data = data._replace(src_depths=jax.numpy.asarray(
+            _np.full((v_pad, height, width), mid, _np.float32)))
+
+    if apd:
+        params = schedule_params(PatchMatchParams(), 1, 0 if geom else None)
+    else:
+        params = schedule_params(PatchMatchParams(), 0, None)
+    print(f"scene ready in {time.time() - t0:.1f}s; params: APD={params.use_APD} "
+          f"edge={params.use_edge} geom={params.geom_consistency} "
+          f"state={params.state.name}", flush=True)
+
+    for rep in range(3):
+        timer = StageTimer(echo=True)
+        st = st_mod.init_pm_state(inputs, v_pad, jax.random.key(rep), apd)
+        if apd:
+            mid = 0.5 * (inputs.depth_min + inputs.depth_max)
+            plane = np.zeros((height, width, 4), np.float32)
+            plane[..., 2] = -1.0
+            plane[..., 3] = mid
+            st = st._replace(plane=jax.numpy.asarray(plane))
+        t1 = time.time()
+        st = run_sweep_staged(data, st, params, timer=timer, skip=skip)
+        # Axon gotcha: block_until_ready returns early; a host readback is
+        # the only honest sync.
+        d = np.asarray(jax.device_get(st.plane))[..., 3]
+        label = "compile+exec" if rep == 0 else "steady"
+        print(f"--- sweep {rep} ({label}): {time.time() - t1:.2f}s total",
+              flush=True)
+        print(timer.summary(), flush=True)
+        print(f"    depth stats: min={d.min():.3f} max={d.max():.3f} "
+              f"mean={d.mean():.3f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
