@@ -1,0 +1,388 @@
+"""The rectified cost engine: every NCC sample as a row-local Pallas gather.
+
+This is the framework's texture unit (round-2 redesign). The reference
+evaluates bilateral NCC windows with per-pixel plane homographies through
+the GPU texture cache (``ComputeBilateralNCCOld``, DPE.cu:692-778). XLA TPU
+gathers serialize (BASELINE.md), so here every cost evaluation runs in the
+pairwise-rectified frames of :mod:`..geometry.rectify`, where
+
+  * a window sample of the source image lies on the *same row* as its
+    reference sample for any plane hypothesis, and
+  * its column is an affine function of the rectified pixel.
+
+One cost evaluation of a plane field against one source view is then:
+
+  1. rotate plane normals into the rect frame (elementwise) and transport
+     the (n, d) field original->rect with a nearest two-pass warp;
+  2. for each static window offset: one row-local bilinear gather of the
+     source image (ops/rowgather.bilinear_x) + static shifts of the
+     rectified reference image, accumulated into the six NCC sums;
+  3. transport the cost field rect->original with a nearest two-pass warp.
+
+Costs keep the reference semantics: in [0, 2], COST_MAX for invalid centers
+(source out of frame, non-positive depth, padding views).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import COST_MAX, GEOM_COST_MAX, PatchMatchParams
+from ..geometry import cameras as geo
+from ..geometry import rectify
+from ..io.scene import ProblemInputs
+from ..ops import rowgather
+from ..ops import sampling
+from ..ops import warp as warp_ops
+
+K_MIN_VAR = 1e-5
+
+
+class RectView(NamedTuple):
+    """Device-side rectification data for one (ref, src) pair."""
+
+    ref_rect: jnp.ndarray     # (Hp, Wp) f32 rectified reference image
+    src_rect: jnp.ndarray     # (Hp, Wp) f32 rectified source image
+    ref_ok: jnp.ndarray       # (Hp, Wp) f32 1 where rect px has ref content
+    src_ok: jnp.ndarray       # (Hp, Wp) f32 1 where rect px has src content
+    src_depth_rect: jnp.ndarray  # (Hp, Wp) f32 src depth in ITS rect frame
+                                 # (zeros unless geom pass)
+    R2r: jnp.ndarray          # (3, 3) ref-cam -> rect rotation
+    f: jnp.ndarray            # () rect focal
+    cx: jnp.ndarray           # () rect principal point
+    cy: jnp.ndarray
+    b: jnp.ndarray            # () baseline (src at +x)
+    # orig -> rect transport (homography H_ref):
+    f_vy: jnp.ndarray         # (Hp, Win') f32 vertical-pass rows
+    f_hx: jnp.ndarray         # (Hp, Wp) f32 horizontal-pass cols
+    # rect -> orig transport (homography H_ref^{-1}):
+    b_vy: jnp.ndarray         # (H, Win'') f32
+    b_hx: jnp.ndarray         # (H, W) f32
+    orig_ok: jnp.ndarray      # (H, W) f32 1 where the orig px maps into the
+                              # rect frame (clamped frames leave a border out)
+
+
+class RectStatics(NamedTuple):
+    """Hashable per-problem constants (static under jit)."""
+
+    f_transposed: Tuple[bool, ...]   # per view, forward warp
+    b_transposed: Tuple[bool, ...]   # per view, backward warp
+    hp: int
+    wp: int
+
+
+class RectHost(NamedTuple):
+    """Host-side product of :func:`build_rect_host`."""
+
+    pairs: tuple                     # per-view rectify.RectPair
+    fwd: tuple                       # per-view WarpFields (orig -> rect)
+    bwd: tuple                       # per-view WarpFields (rect -> orig)
+    statics: RectStatics
+
+
+def build_rect_host(
+    cameras: Sequence, width: int, height: int, v_pad: int,
+    max_scale: float = 1.6,
+) -> RectHost:
+    """Rectify every (ref, src) pair of a problem on the host.
+
+    ``cameras``: [ref, src...] objects with .K/.R/.t NumPy arrays (as in
+    ProblemInputs). Padding views replicate the last real pair (masked out
+    at cost time by ``view_valid``)."""
+    ref = cameras[0]
+    pairs = []
+    for src in cameras[1:]:
+        pairs.append(rectify.build_rect_pair(
+            ref.K, ref.R, ref.t, src.K, src.R, src.t, width, height,
+            max_scale=max_scale))
+    if not pairs:
+        raise ValueError("problem has no source views")
+    while len(pairs) < v_pad:
+        pairs.append(pairs[-1])
+    pairs = pairs[:v_pad]
+
+    hp = max(p.height for p in pairs)
+    wp = max(p.width for p in pairs)
+    # Rebuild with the common frame so views stack.
+    rebuilt = []
+    for p, src in zip(pairs, (list(cameras[1:]) + [cameras[-1]] * v_pad)):
+        rebuilt.append(rectify.build_rect_pair(
+            ref.K, ref.R, ref.t, src.K, src.R, src.t, width, height,
+            max_scale=max_scale, force_size=(wp, hp)))
+    pairs = rebuilt
+
+    fwd, bwd = [], []
+    for p in pairs:
+        fwd.append(rectify.build_warp_fields(p.H_ref, width, height, wp, hp))
+        bwd.append(rectify.build_warp_fields(
+            np.linalg.inv(p.H_ref), wp, hp, width, height))
+    statics = RectStatics(
+        f_transposed=tuple(w.transposed_input for w in fwd),
+        b_transposed=tuple(w.transposed_input for w in bwd),
+        hp=hp, wp=wp,
+    )
+    return RectHost(pairs=tuple(pairs), fwd=tuple(fwd), bwd=tuple(bwd),
+                    statics=statics)
+
+
+def _src_warp_fields(pair: rectify.RectPair, width: int, height: int):
+    return rectify.build_warp_fields(pair.H_src, width, height,
+                                     pair.width, pair.height)
+
+
+@functools.partial(jax.jit, static_argnames=("ft", "st", "interpret"))
+def _prep_pair(ref_img, src_img, f_vy, f_hx, s_vy, s_hx, ft, st, interpret):
+    ref_r = warp_ops.warp_separable(
+        ref_img, f_vy, f_hx, transposed_input=ft, interpret=interpret)
+    src_r = warp_ops.warp_separable(
+        src_img, s_vy, s_hx, transposed_input=st, interpret=interpret)
+    return ref_r, src_r
+
+
+@functools.partial(jax.jit, static_argnames=("st", "interpret"))
+def _prep_depth(dep_scaled, s_vy, s_hx, s_valid, st, interpret):
+    dep_r = warp_ops.warp_separable(
+        dep_scaled, s_vy, s_hx, transposed_input=st, nearest=True,
+        interpret=interpret)
+    return jnp.where(s_valid, dep_r, 0.0)
+
+
+def build_rect_views(
+    rh: RectHost,
+    images: np.ndarray,          # (1 + n_src, H, W) f32 host images
+    src_depths: Optional[np.ndarray],  # (n_src, H, W) or None
+    cameras: Optional[Sequence] = None,  # [ref, src...]; needed for depths
+    interpret: Optional[bool] = None,
+) -> Tuple[RectView, ...]:
+    """Warp images (and src depths for geom passes) into the rect frames and
+    assemble the device RectView tuple. One jit-compiled program per problem
+    shape (the warps are rowgather kernels; keep them off the eager path —
+    every eager op is a separately compiled module on the axon backend)."""
+    H, W = images.shape[1:]
+    views = []
+    for i, (pair, wf, wb) in enumerate(zip(rh.pairs, rh.fwd, rh.bwd)):
+        n_src = images.shape[0] - 1
+        src_i = min(i, n_src - 1)
+        sf = _src_warp_fields(pair, W, H)
+
+        ref_r, src_r = _prep_pair(
+            jnp.asarray(images[0]), jnp.asarray(images[1 + src_i]),
+            jnp.asarray(wf.vpass_y), jnp.asarray(wf.hpass_x),
+            jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
+            ft=wf.transposed_input, st=sf.transposed_input,
+            interpret=interpret)
+
+        if src_depths is not None:
+            # Source depths live in the SOURCE's pixel grid along the SRC
+            # z-axis; the rect frame needs z along the rect z-axis:
+            # z_rect = (R2s row 3) . X_src = depth * (r3 . p~_src). The
+            # factor field is static per pair — scale, then warp.
+            sc = cameras[1 + src_i]
+            xg, yg = np.meshgrid(np.arange(W, dtype=np.float64),
+                                 np.arange(H, dtype=np.float64))
+            Ks = np.asarray(sc.K, np.float64)
+            p_s = np.stack([(xg - Ks[0, 2]) / Ks[0, 0],
+                            (yg - Ks[1, 2]) / Ks[1, 1],
+                            np.ones_like(xg)])
+            r3 = pair.R2s[2]
+            factor = (r3[0] * p_s[0] + r3[1] * p_s[1] + r3[2] * p_s[2]) \
+                .astype(np.float32)
+            dep_r = _prep_depth(
+                jnp.asarray(src_depths[src_i] * factor),
+                jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
+                jnp.asarray(sf.valid), st=sf.transposed_input,
+                interpret=interpret)
+        else:
+            dep_r = jnp.zeros((rh.statics.hp, rh.statics.wp), jnp.float32)
+
+        views.append(RectView(
+            ref_rect=ref_r,
+            src_rect=src_r,
+            ref_ok=jnp.asarray(wf.valid.astype(np.float32)),
+            src_ok=jnp.asarray(sf.valid.astype(np.float32)),
+            src_depth_rect=dep_r,
+            R2r=jnp.asarray(pair.R2r.astype(np.float32)),
+            f=jnp.float32(pair.f),
+            cx=jnp.float32(pair.cx),
+            cy=jnp.float32(pair.cy),
+            b=jnp.float32(pair.b),
+            f_vy=jnp.asarray(wf.vpass_y),
+            f_hx=jnp.asarray(wf.hpass_x),
+            b_vy=jnp.asarray(wb.vpass_y),
+            b_hx=jnp.asarray(wb.hpass_x),
+            orig_ok=jnp.asarray(wb.valid.astype(np.float32)),
+        ))
+    return tuple(views)
+
+
+# ---------------------------------------------------------------------------
+# The cost evaluation proper
+# ---------------------------------------------------------------------------
+
+def plane_to_rect(plane: jnp.ndarray, R2r: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (..., 4) plane hypotheses into the rect frame (d invariant)."""
+    nr = geo.mat3_vec(jnp.broadcast_to(R2r, (*plane.shape[:-1], 3, 3)),
+                      plane[..., :3])
+    return jnp.concatenate([nr, plane[..., 3:4]], axis=-1)
+
+
+def _shift2(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    return sampling.shift(img, dy, dx)
+
+
+def ncc_rect_one(
+    rv: RectView,
+    plane_rect: jnp.ndarray,      # (Hp, Wp, 4) rect-frame plane field
+    offsets: np.ndarray,          # (S, 2) static window offsets
+    sigma_spatial: float,
+    sigma_color: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Bilateral NCC cost field of one plane field against one source view,
+    on the rectified grid. (Hp, Wp) in [0, COST_MAX]."""
+    Hp, Wp = rv.ref_rect.shape
+    u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+
+    nr = plane_rect[..., :3]
+    d = plane_rect[..., 3]
+    gx, gy, g0 = rectify.disparity_coeffs(nr, d, rv.f, rv.b)
+
+    # Depth sign (cheirality) at the window center.
+    denom = (nr[..., 0] * (u - rv.cx) + nr[..., 1] * (v - rv.cy)) / rv.f \
+        + nr[..., 2]
+    z = -d / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+
+    xs_c = u + gx * (u - rv.cx) + gy * (v - rv.cy) + g0
+    xs_c = jnp.where(jnp.isfinite(xs_c), xs_c, -1.0)
+
+    # Center validity (reference: src center outside image -> COST_MAX,
+    # DPE.cu:577-580; plus rect-frame content masks).
+    src_ok_c = rowgather.row_gather(
+        rv.src_ok, jnp.clip(xs_c, 0.0, Wp - 1).astype(jnp.int32),
+        interpret=interpret)
+    valid = (rv.ref_ok > 0.5) & (src_ok_c > 0.5) & (z > 0) & \
+        (xs_c >= 0.0) & (xs_c <= Wp - 1.0)
+
+    oys = sorted(set(float(o[1]) for o in offsets))
+    ref_c = rv.ref_rect
+    sum_w = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_ref = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_ref2 = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_src = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_src2 = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_rs = jnp.zeros((Hp, Wp), jnp.float32)
+
+    inv_2ss = 1.0 / (2.0 * sigma_spatial * sigma_spatial)
+    inv_2sc = 1.0 / (2.0 * sigma_color * sigma_color)
+
+    for oy in oys:
+        oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+        src_row = _shift2(rv.src_rect, int(oy), 0)
+        # Batch this row's samples into one row-gather launch along L.
+        xs_list, ref_list, w_list = [], [], []
+        for ox in oxs:
+            us = u + ox
+            vs = v + oy
+            xs = us + gx * (us - rv.cx) + gy * (vs - rv.cy) + g0
+            xs_list.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
+            ref_s = _shift2(rv.ref_rect, int(oy), int(ox))
+            ref_list.append(ref_s)
+            spatial = float(np.sqrt(ox * ox + oy * oy))
+            w_list.append(jnp.exp(-spatial * inv_2ss
+                                  - jnp.abs(ref_s - ref_c) * inv_2sc))
+        xs_cat = jnp.concatenate(xs_list, axis=1)            # (Hp, k*Wp)
+        src_cat = rowgather.bilinear_x(src_row, xs_cat, interpret=interpret)
+        k = len(oxs)
+        src_s = src_cat.reshape(Hp, k, Wp)
+        for j in range(k):
+            w = w_list[j]
+            r = ref_list[j]
+            s = src_s[:, j]
+            sum_w = sum_w + w
+            sum_ref = sum_ref + w * r
+            sum_ref2 = sum_ref2 + w * r * r
+            sum_src = sum_src + w * s
+            sum_src2 = sum_src2 + w * s * s
+            sum_rs = sum_rs + w * r * s
+
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    m_src = sum_src * inv_w
+    var_ref = sum_ref2 * inv_w - m_ref * m_ref
+    var_src = sum_src2 * inv_w - m_src * m_src
+    covar = sum_rs * inv_w - m_ref * m_src
+    den = jnp.sqrt(jnp.maximum(var_ref * var_src, K_MIN_VAR * K_MIN_VAR))
+    ncc = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
+    cost = jnp.where((var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR),
+                     COST_MAX, ncc)
+    return jnp.where(valid, cost, COST_MAX)
+
+
+def geom_rect_one(
+    rv: RectView,
+    plane_rect: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Forward-backward geometric consistency in the rect frame
+    (``ComputeGeomConsistencyCost``, DPE.cu:915-953). Row-preserving: the
+    back-projected error is purely horizontal, err = |x_back - u| with
+    x_back = x_s + f b / z_src."""
+    Hp, Wp = rv.ref_rect.shape
+    u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+    nr = plane_rect[..., :3]
+    d = plane_rect[..., 3]
+    gx, gy, g0 = rectify.disparity_coeffs(nr, d, rv.f, rv.b)
+    xs = u + gx * (u - rv.cx) + gy * (v - rv.cy) + g0
+    xs = jnp.where(jnp.isfinite(xs), xs, -1.0)
+    ok = (xs >= 0.0) & (xs <= Wp - 1.0)
+    # Reference samples src depth at integer coords (DPE.cu:936).
+    z_src = rowgather.row_gather(
+        rv.src_depth_rect, jnp.clip(xs, 0.0, Wp - 1).astype(jnp.int32),
+        interpret=interpret)
+    x_back = xs + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
+    err = jnp.minimum(jnp.abs(x_back - u), GEOM_COST_MAX)
+    return jnp.where(ok & (z_src > 0), err, GEOM_COST_MAX)
+
+
+def rect_cost_vector(
+    views: Tuple[RectView, ...],
+    statics: RectStatics,
+    plane: jnp.ndarray,              # (H, W, 4) orig-grid ref-cam plane field
+    view_valid: jnp.ndarray,         # (V,) bool
+    params: PatchMatchParams,
+    offsets: np.ndarray,
+    geom: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(V, H, W) bilateral NCC (+ optional geometric) costs of one plane
+    field against every source view, on the ORIGINAL pixel grid — the rect
+    path's replacement for :func:`..engine.patchmatch.ncc_cost_vector`."""
+    H, W = plane.shape[:2]
+    out = []
+    for i, rv in enumerate(views):
+        pr = plane_to_rect(plane, rv.R2r)                    # (H, W, 4)
+        prw = warp_ops.warp_channels(
+            jnp.moveaxis(pr, -1, 0), rv.f_vy, rv.f_hx,
+            transposed_input=statics.f_transposed[i], nearest=True,
+            interpret=interpret)
+        prw = jnp.moveaxis(prw, 0, -1)                       # (Hp, Wp, 4)
+        c = ncc_rect_one(rv, prw, offsets, params.sigma_spatial,
+                         params.sigma_color, interpret=interpret)
+        if geom:
+            g = geom_rect_one(rv, prw, interpret=interpret)
+            c = c + params.geom_factor * g
+        c_orig = warp_ops.warp_separable(
+            c, rv.b_vy, rv.b_hx,
+            transposed_input=statics.b_transposed[i], nearest=True,
+            interpret=interpret)
+        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom else 0.0)
+        c_orig = jnp.where((rv.orig_ok > 0.5) & view_valid[i], c_orig,
+                           cmax)
+        out.append(c_orig)
+    return jnp.stack(out)

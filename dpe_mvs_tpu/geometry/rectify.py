@@ -46,6 +46,7 @@ class RectPair(NamedTuple):
     """
 
     R2r: np.ndarray      # (3, 3) ref-cam -> rect-cam rotation (shared frame)
+    R2s: np.ndarray      # (3, 3) src-cam -> rect-cam rotation
     K: np.ndarray        # (3, 3) rectified intrinsics, fx == fy == f
     b: float             # baseline length (src sits at +x of ref), > 0
     width: int           # rectified frame width  (multiple of 128)
@@ -87,6 +88,7 @@ def build_rect_pair(
     src_K: np.ndarray, src_R: np.ndarray, src_t: np.ndarray,
     width: int, height: int,
     max_scale: float = 1.8,
+    force_size: Optional[Tuple[int, int]] = None,
 ) -> RectPair:
     """Rectify one camera pair (both images ``width`` x ``height``).
 
@@ -135,10 +137,13 @@ def build_rect_pair(
     warped = _apply_h(H_ref0, corners)
     lo = warped.min(axis=0)
     hi = warped.max(axis=0)
-    out_w = min(int(np.ceil(hi[0] - lo[0])) + 1, int(max_scale * width))
-    out_h = min(int(np.ceil(hi[1] - lo[1])) + 1, int(max_scale * height))
-    out_w = _round_up(max(out_w, LANES), LANES)
-    out_h = _round_up(max(out_h, 8), 8)
+    if force_size is not None:
+        out_w, out_h = force_size
+    else:
+        out_w = min(int(np.ceil(hi[0] - lo[0])) + 1, int(max_scale * width))
+        out_h = min(int(np.ceil(hi[1] - lo[1])) + 1, int(max_scale * height))
+        out_w = _round_up(max(out_w, LANES), LANES)
+        out_h = _round_up(max(out_h, 8), 8)
     # Center the warped ref box in the (possibly clamped) output frame.
     cx = -0.5 * (lo[0] + hi[0]) + 0.5 * (out_w - 1)
     cy = -0.5 * (lo[1] + hi[1]) + 0.5 * (out_h - 1)
@@ -146,7 +151,7 @@ def build_rect_pair(
     K = np.array([[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]])
     H_ref = K @ R2r @ np.linalg.inv(ref_K)
     H_src = K @ R2s @ np.linalg.inv(src_K)
-    return RectPair(R2r=R2r, K=K, b=b, width=out_w, height=out_h,
+    return RectPair(R2r=R2r, R2s=R2s, K=K, b=b, width=out_w, height=out_h,
                     H_ref=H_ref, H_src=H_src, quality=quality)
 
 
