@@ -691,12 +691,19 @@ def median_filter_depth(data: SweepData, plane: jnp.ndarray, cost: jnp.ndarray,
 
 def _selected_weighted_cost(data: SweepData, state: PMState,
                             params: PatchMatchParams, plane: jnp.ndarray,
-                            offs: np.ndarray, ref_cache=None) -> jnp.ndarray:
-    """Weighted NCC (+ geom) over the pixel's selected views; (H, W)."""
+                            offs: np.ndarray, ref_cache=None,
+                            cost_fn=None) -> jnp.ndarray:
+    """Weighted NCC (+ geom) over the pixel's selected views; (H, W).
+
+    ``cost_fn`` (plane -> (V, H, W) costs incl. geom) overrides the
+    XLA-gather path — the rectified engine injects itself here."""
     nview = data.num_src
-    costs = ncc_cost_vector(data, plane, offs, ref_cache=ref_cache)
-    if params.geom_consistency:
-        costs = costs + params.geom_factor * geom_cost_vector(data, plane)
+    if cost_fn is not None:
+        costs = cost_fn(plane)
+    else:
+        costs = ncc_cost_vector(data, plane, offs, ref_cache=ref_cache)
+        if params.geom_consistency:
+            costs = costs + params.geom_factor * geom_cost_vector(data, plane)
     bits = ((state.selected[None] >> jnp.arange(nview, dtype=jnp.uint32)
              [:, None, None]) & 1) == 1
     w = jnp.where(bits, jnp.moveaxis(state.view_weight, -1, 0), 0)
@@ -721,13 +728,13 @@ def _disparity_setup(data: SweepData, state: PMState):
 
 
 def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
-                    disps: np.ndarray) -> jnp.ndarray:
+                    disps: np.ndarray, cost_fn=None) -> jnp.ndarray:
     """(S, H, W) weighted costs over disparity offsets around the current
     depth, shared by DepthToWeak and LocalRefine."""
     H, W = data.ref_image.shape
     px, py = geo.pixel_grid(H, W)
     offs = strong_offsets(params)
-    cache = strong_ref_cache(data, params)
+    cache = strong_ref_cache(data, params) if cost_fn is None else None
     n_cam, origin_depth, bl, _cnt = _disparity_setup(data, state)
     f = data.ref_cam.fx
     disp0 = f * bl / jnp.where(origin_depth > 0, origin_depth, 1e30)
@@ -736,7 +743,7 @@ def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
         p_depth = f * bl / (disp0 + p_disp)
         cand = geo.plane_from_depth_normal(data.ref_cam, px, py, p_depth, n_cam)
         c, _ = _selected_weighted_cost(data, state, params, cand, offs,
-                                       ref_cache=cache)
+                                       ref_cache=cache, cost_fn=cost_fn)
         in_range = (p_depth >= data.depth_min) & (p_depth <= data.depth_max)
         return None, jnp.where(in_range, jnp.minimum(c, COST_MAX), COST_MAX)
 
@@ -744,14 +751,14 @@ def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
     return costs
 
 
-def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams
-                  ) -> jnp.ndarray:
+def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams,
+                  cost_fn=None) -> jnp.ndarray:
     """Reclassify pixels from the 61-sample disparity cost profile
     (``DepthToWeak``, DPE.cu:2593-2747). Returns new weak map."""
     H, W = data.ref_image.shape
     radius = 30
     disps = np.arange(-radius, radius + 1, dtype=np.float32)
-    costs = disparity_sweep(data, state, params, disps)      # (61, H, W)
+    costs = disparity_sweep(data, state, params, disps, cost_fn)  # (61, H, W)
 
     S = costs.shape[0]
     interior = jnp.zeros((S,), bool).at[2:S - 2].set(True)[:, None, None]
@@ -766,7 +773,10 @@ def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams
     min_peak = jnp.where(has_min, min_peak, 0)
     min_cost_eff = jnp.where(has_min, min_cost, 2.0)
 
-    cost_at_minpeak = jnp.take_along_axis(costs, min_peak[None], axis=0)[0]
+    # costs[min_peak] == min_cost when a sub-ceiling peak exists (min_peak is
+    # argmin over peak-masked costs); the no-peak fallback reads index 0.
+    # Expressed without take_along_axis: XLA TPU serializes small gathers.
+    cost_at_minpeak = jnp.where(has_min, min_cost, costs[0])
 
     # Variance of other peaks around the minimum (DPE.cu:2730-2739).
     others = is_peak & (jnp.arange(S)[:, None, None] != min_peak[None])
@@ -796,12 +806,12 @@ def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams
     return jnp.where(unknown, jnp.uint8(UNKNOWN), weak_out)
 
 
-def local_refine(data: SweepData, state: PMState, params: PatchMatchParams
-                 ) -> jnp.ndarray:
+def local_refine(data: SweepData, state: PMState, params: PatchMatchParams,
+                 cost_fn=None) -> jnp.ndarray:
     """±5-disparity depth polish; accept on >=0.1 improvement
     (``LocalRefine``, DPE.cu:2749-2835). Returns new depth channel."""
     disps = np.arange(-5, 6, dtype=np.float32)
-    costs = disparity_sweep(data, state, params, disps)      # (11, H, W)
+    costs = disparity_sweep(data, state, params, disps, cost_fn)  # (11, H, W)
     n_cam, origin_depth, bl, cnt = _disparity_setup(data, state)
     f = data.ref_cam.fx
     disp0 = f * bl / jnp.where(origin_depth > 0, origin_depth, 1e30)
@@ -818,7 +828,7 @@ def local_refine(data: SweepData, state: PMState, params: PatchMatchParams
         geo.plane_from_depth_normal(
             data.ref_cam, *geo.pixel_grid(*data.ref_image.shape),
             origin_depth, n_cam),
-        strong_offsets(params))
+        strong_offsets(params), cost_fn=cost_fn)
     ok = (cost_now - min_cost > 0.1) & (origin_depth != 0) & (wsum > 0) & \
         (cnt > 0)
     return jnp.where(ok, best_depth, origin_depth)

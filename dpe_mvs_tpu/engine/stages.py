@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..config import PatchMatchParams, PixelState
 from ..ops import checker
 from . import patchmatch as pm
+from . import strong_rect
 from . import sweep as sweep_mod
 from .state import PMState, SweepData
 
@@ -62,14 +63,28 @@ def _support_stage(data: SweepData, state: PMState, key,
     return sweep_mod.build_support(data, state, params, key)
 
 
-def _init_stage(data: SweepData, state: PMState, params: PatchMatchParams):
+def _init_stage(data: SweepData, state: PMState, params: PatchMatchParams,
+                rstat=None):
+    if rstat is not None:
+        return strong_rect.initialize_rect(data, state, params, rstat)
     return pm.initialize(data, state, params)
 
 
 def _strong_iter(data: SweepData, sup: pm.Support, state: PMState,
-                 it, key_it, params: PatchMatchParams):
+                 it, key_it, params: PatchMatchParams, rstat=None):
     """One propagation iteration over strong pixels, both checkerboard
     colors (matches the strong_color scan of run_sweep)."""
+
+    if rstat is not None:
+        def strong_color_rect(state, color):
+            out = strong_rect.propagate_strong_rect(
+                jax.random.fold_in(key_it, color), data, sup, state,
+                params, it, color, rstat)
+            return strong_rect.apply_strong_full(
+                state, state.weak != WEAK, color, *out), None
+
+        state, _ = jax.lax.scan(strong_color_rect, state, jnp.arange(2))
+        return state
 
     def strong_color(state, color):
         out = pm.propagate_strong(
@@ -118,14 +133,20 @@ def _finish_stage(data: SweepData, state: PMState, params: PatchMatchParams):
 
 
 def _classify_stage(data: SweepData, state: PMState,
-                    params: PatchMatchParams):
+                    params: PatchMatchParams, rstat=None):
     """DepthToWeak reclassification (DPE.cu:3222)."""
-    return state._replace(weak=pm.depth_to_weak(data, state, params))
+    cost_fn = (strong_rect.make_cost_fn(data, params, rstat)
+               if rstat is not None else None)
+    return state._replace(weak=pm.depth_to_weak(data, state, params,
+                                                cost_fn=cost_fn))
 
 
-def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams):
+def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams,
+                  rstat=None):
     """LocalRefine depth polish (DPE.cu:3225)."""
-    new_depth = pm.local_refine(data, state, params)
+    cost_fn = (strong_rect.make_cost_fn(data, params, rstat)
+               if rstat is not None else None)
+    new_depth = pm.local_refine(data, state, params, cost_fn=cost_fn)
     return state._replace(plane=state.plane.at[..., 3].set(new_depth))
 
 
@@ -137,17 +158,17 @@ def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams):
 # ---------------------------------------------------------------------------
 
 _support_j = jax.jit(_support_stage, static_argnames=("params",))
-_init_j = jax.jit(_init_stage, static_argnames=("params",),
+_init_j = jax.jit(_init_stage, static_argnames=("params", "rstat"),
                   donate_argnums=(1,))
-_strong_j = jax.jit(_strong_iter, static_argnames=("params",),
+_strong_j = jax.jit(_strong_iter, static_argnames=("params", "rstat"),
                     donate_argnums=(2,))
 _weak_j = jax.jit(_weak_iter, static_argnames=("params",),
                   donate_argnums=(2,))
 _finish_j = jax.jit(_finish_stage, static_argnames=("params",),
                     donate_argnums=(1,))
-_classify_j = jax.jit(_classify_stage, static_argnames=("params",),
+_classify_j = jax.jit(_classify_stage, static_argnames=("params", "rstat"),
                       donate_argnums=(1,))
-_refine_j = jax.jit(_refine_stage, static_argnames=("params",),
+_refine_j = jax.jit(_refine_stage, static_argnames=("params", "rstat"),
                     donate_argnums=(1,))
 
 STAGES = {
@@ -166,6 +187,7 @@ def run_sweep_staged(
     state: PMState,
     params: PatchMatchParams,
     *,
+    rstat=None,
     timer=None,
     block: bool = False,
     skip=frozenset(),
@@ -204,21 +226,21 @@ def run_sweep_staged(
         sup, state = timed("support", _support_j, data, state, keys[0],
                            params)
 
-    state = timed("init", _init_j, data, state, params)
+    state = timed("init", _init_j, data, state, params, rstat)
 
     base_key = keys[1]
     for it in range(params.max_iterations):
         it_dev = jnp.int32(it)
         key_it = jax.random.fold_in(base_key, it_dev)
         state = timed("strong", _strong_j, data, sup, state, it_dev, key_it,
-                      params)
+                      params, rstat)
         if params.use_APD:
             state = timed("weak", _weak_j, data, sup, state, it_dev, key_it,
                           params)
 
     state = timed("finish", _finish_j, data, state, params)
-    state = timed("classify", _classify_j, data, state, params)
-    state = timed("refine", _refine_j, data, state, params)
+    state = timed("classify", _classify_j, data, state, params, rstat)
+    state = timed("refine", _refine_j, data, state, params, rstat)
     state = state._replace(key=keys[-1])
     if block:
         jax.block_until_ready(state.plane)

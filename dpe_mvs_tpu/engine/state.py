@@ -39,6 +39,7 @@ class SweepData(NamedTuple):
     edge: jnp.ndarray          # (H, W) bool — fine edges at this scale
     edge_low: jnp.ndarray      # (Hl, Wl) bool — low-res edges (Bresenham map)
     label: jnp.ndarray         # (H, W) i32 — coarse region labels
+    rect: Optional[tuple] = None  # per-view rectcost.RectView (TPU path)
 
     @property
     def height(self) -> int:
