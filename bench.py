@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Measures the steady-state rate of full photometric PatchMatch sweeps
 (ProcessProblem equivalents) at the reference's coarse working resolution
 (max dim ~800, the resolution every scene is swept at in rounds 0..n-1,
-main.cpp:390-408) on a synthetic multi-view scene. North-star target from
-BASELINE.json: >= 1 depth-map/s/chip.
+main.cpp:390-408) on a synthetic multi-view scene, through the rectified
+row-local cost engine (the TPU path). North-star target from BASELINE.json:
+>= 1 depth-map/s/chip.
 """
 from __future__ import annotations
 
@@ -27,8 +28,9 @@ import numpy as np  # noqa: E402
 def main() -> int:
     import tempfile
     from dpe_mvs_tpu.config import PatchMatchParams, schedule_params
+    from dpe_mvs_tpu.engine import rectcost
     from dpe_mvs_tpu.engine import state as st_mod
-    from dpe_mvs_tpu.engine.sweep import run_sweep
+    from dpe_mvs_tpu.engine.stages import run_sweep_staged
     from dpe_mvs_tpu.io import scene as scene_mod
     from dpe_mvs_tpu.utils.synthetic import make_plane_scene
 
@@ -42,20 +44,28 @@ def main() -> int:
         need_src_depths=False)
     v_pad = num_views - 1
     data = st_mod.build_sweep_data(inputs, v_pad)
+    rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                  inputs.height, v_pad)
+    rviews = rectcost.build_rect_views(rh, inputs.images, None,
+                                       cameras=inputs.cameras)
+    data = data._replace(rect=rviews)
     params = schedule_params(PatchMatchParams(), 0, None)  # round-0 pass A
     st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
 
-    # AOT compile + warm up.
-    fn = jax.jit(run_sweep, static_argnames=("params",)).lower(
-        data, st0, params).compile()
-    st = fn(data, st0)
-    jax.block_until_ready(st.plane)
+    def sweep(st, seed):
+        st = run_sweep_staged(data, st._replace(key=jax.random.key(seed)),
+                              params, rstat=rh.statics)
+        # Axon gotcha: block_until_ready returns early; force a readback.
+        np.asarray(jax.device_get(st.plane[..., 3]))
+        return st
+
+    # Warm up (compiles every stage executable).
+    sweep(st0, 0)
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        st = fn(data, st0._replace(key=jax.random.key(i + 1)))
-        jax.block_until_ready(st.plane)
+        sweep(st0, i + 1)
         times.append(time.perf_counter() - t0)
     sweep_time = float(np.median(times))
     value = 1.0 / sweep_time

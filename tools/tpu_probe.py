@@ -38,6 +38,7 @@ def main() -> int:
     apd = len(args) > 3 and args[3] == "apd"
     geom = len(args) > 4 and args[4] == "geom"
     skip = set((args[5] if len(args) > 5 else "").split(","))
+    use_rect = not (len(args) > 6 and args[6] == "norect")
 
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.time()
@@ -52,6 +53,18 @@ def main() -> int:
     t0b = time.time()
     v_pad = views - 1
     data = st_mod.build_sweep_data(inputs, v_pad)
+    rstat = None
+    if use_rect:
+        from dpe_mvs_tpu.engine import rectcost
+        rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                      inputs.height, v_pad)
+        rviews = rectcost.build_rect_views(
+            rh, inputs.images, None, cameras=inputs.cameras)
+        data = data._replace(rect=rviews)
+        rstat = rh.statics
+        print(f"rect frames: {rstat.hp}x{rstat.wp} "
+              f"f_tr={rstat.f_transposed} b_tr={rstat.b_transposed}",
+              flush=True)
     print(f"device data build in {time.time() - t0b:.1f}s", flush=True)
     if geom:
         mid = 0.5 * (inputs.depth_min + inputs.depth_max)
@@ -77,7 +90,8 @@ def main() -> int:
             plane[..., 3] = mid
             st = st._replace(plane=jax.numpy.asarray(plane))
         t1 = time.time()
-        st = run_sweep_staged(data, st, params, timer=timer, skip=skip)
+        st = run_sweep_staged(data, st, params, rstat=rstat, timer=timer,
+                              skip=skip)
         # Axon gotcha: block_until_ready returns early; a host readback is
         # the only honest sync.
         d = np.asarray(jax.device_get(st.plane))[..., 3]
