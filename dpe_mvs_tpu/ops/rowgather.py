@@ -57,15 +57,24 @@ def _pad_rows_cols(img: jnp.ndarray, bh: int):
 
 
 def _row_gather_kernel(img_ref, ix_ref, out_ref, *, nq: int):
+    """Banded q-loop: only the lane blocks the tile's indices actually touch
+    are visited. PatchMatch index fields are disparity-local (a (bh, 128)
+    tile's samples span a few hundred columns, not the whole row), so the
+    dynamic band usually covers 2-3 of the W/128 blocks."""
     ix = ix_ref[:]
-    acc = jnp.zeros(ix.shape, img_ref.dtype)
-    for q in range(nq):
-        blk = img_ref[:, q * LANES:(q + 1) * LANES]
+    qlo = jnp.min(ix) // LANES
+    qnum = jnp.max(ix) // LANES - qlo + 1
+
+    def body(i, acc):
+        q = qlo + i
+        blk = img_ref[:, pl.ds(pl.multiple_of(q * LANES, LANES), LANES)]
         m = ix - q * LANES
         hit = (m >= 0) & (m < LANES)
         g = jnp.take_along_axis(blk, jnp.clip(m, 0, LANES - 1), axis=1)
-        acc = jnp.where(hit, g, acc)
-    out_ref[:] = acc
+        return jnp.where(hit, g, acc)
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, qnum, body, jnp.zeros(ix.shape, img_ref.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "interpret"))
@@ -106,23 +115,29 @@ def row_gather(img: jnp.ndarray, ix: jnp.ndarray, *, bh: int = 256,
 
 
 def _bilinear_x_kernel(img_ref, x_ref, out_ref, *, nq: int, W: int):
+    """Banded like :func:`_row_gather_kernel` (two taps per block visit)."""
     x = x_ref[:]
     x = jnp.clip(x, 0.0, W - 1.0)
     x0 = jnp.clip(jnp.floor(x), 0.0, W - 2.0) if W > 1 else jnp.zeros_like(x)
     f = x - x0
     ix0 = x0.astype(jnp.int32)
-    a0 = jnp.zeros(x.shape, img_ref.dtype)
-    a1 = jnp.zeros(x.shape, img_ref.dtype)
-    for q in range(nq):
-        blk = img_ref[:, q * LANES:(q + 1) * LANES]
+    qlo = jnp.min(ix0) // LANES
+    qnum = (jnp.max(ix0) + 1) // LANES - qlo + 1
+
+    def body(i, carry):
+        a0, a1 = carry
+        q = qlo + i
+        blk = img_ref[:, pl.ds(pl.multiple_of(q * LANES, LANES), LANES)]
         m0 = ix0 - q * LANES
         m1 = m0 + 1
         h0 = (m0 >= 0) & (m0 < LANES)
         h1 = (m1 >= 0) & (m1 < LANES)
         g0 = jnp.take_along_axis(blk, jnp.clip(m0, 0, LANES - 1), axis=1)
         g1 = jnp.take_along_axis(blk, jnp.clip(m1, 0, LANES - 1), axis=1)
-        a0 = jnp.where(h0, g0, a0)
-        a1 = jnp.where(h1, g1, a1)
+        return jnp.where(h0, g0, a0), jnp.where(h1, g1, a1)
+
+    zero = jnp.zeros(x.shape, img_ref.dtype)
+    a0, a1 = jax.lax.fori_loop(0, qnum, body, (zero, zero))
     out_ref[:] = a0 * (1.0 - f) + a1 * f
 
 
