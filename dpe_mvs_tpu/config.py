@@ -102,6 +102,11 @@ class EngineConfig:
     profile: DatasetProfile = ETH3D
     # Cap on padded images kept resident on device at once.
     max_images: int = MAX_IMAGES
+    # Cost engine: None = auto (rectified row-local Pallas engine on TPU,
+    # XLA-gather engine on CPU); True/False forces. The rect engine is the
+    # TPU execution path (XLA TPU serializes 2-D gathers — BASELINE.md);
+    # both engines compute the same costs and are cross-checked in tests.
+    use_rect: Optional[bool] = None
 
 
 def compute_round_num(width: int, height: int, cfg: EngineConfig) -> int:

@@ -32,6 +32,33 @@ from ..io import formats, scene
 # variant) and avoids re-dispatch overhead in the per-problem loop.
 _COMPILED_SWEEPS: Dict = {}
 
+# Host-side rectification data keyed by (scene, view, size): the epipolar
+# frames depend only on cameras and image size, so one build serves every
+# pass of a round.
+_RECT_HOSTS: Dict = {}
+
+
+def use_rect_engine(cfg: EngineConfig) -> bool:
+    """Pick the cost engine: the rectified row-local Pallas engine is the
+    TPU path (XLA TPU serializes 2-D gathers — BASELINE.md), the XLA-gather
+    engine the CPU path. ``cfg.use_rect`` forces either."""
+    if cfg.use_rect is not None:
+        return cfg.use_rect
+    return jax.default_backend() not in ("cpu",)
+
+
+def _rect_host(problem: scene.Problem, inputs, v_pad: int):
+    from ..engine import rectcost
+
+    key = (str(problem.dense_folder), problem.ref_image_id,
+           inputs.width, inputs.height, v_pad)
+    rh = _RECT_HOSTS.get(key)
+    if rh is None:
+        rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                      inputs.height, v_pad)
+        _RECT_HOSTS[key] = rh
+    return rh
+
 
 def _compiled_sweep(data, st, params, verbose=False):
     import jax
@@ -132,12 +159,29 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
         cfg.seed + problem.ref_image_id * 1000 + problem.iteration)
     st = state_mod.init_pm_state(inputs, v_pad, key, params.use_APD)
 
+    rstat = None
+    if use_rect_engine(cfg):
+        from ..engine import rectcost
+
+        rh = _rect_host(problem, inputs, v_pad)
+        src_d = (inputs.src_depths[1:]
+                 if params.geom_consistency and inputs.src_depths is not None
+                 else None)
+        rviews = rectcost.build_rect_views(rh, inputs.images, src_d,
+                                           cameras=inputs.cameras)
+        data = data._replace(rect=rviews)
+        rstat = rh.statics
+
     # Failure handling (SURVEY.md §5: the reference exits on any CUDA error;
     # here transient device/tunnel failures are retried with backoff).
     last_err = None
     for attempt in range(3):
         try:
-            st = _compiled_sweep(data, st, params, verbose)(data, st)
+            if rstat is not None:
+                from ..engine.stages import run_sweep_staged
+                st = run_sweep_staged(data, st, params, rstat=rstat)
+            else:
+                st = _compiled_sweep(data, st, params, verbose)(data, st)
             jax.block_until_ready(st.plane)
             last_err = None
             break

@@ -66,3 +66,19 @@ def test_fusion_pointcloud(pipeline_run):
     assert np.isfinite(pts).all()
     z = pts[:, 2]
     assert (z > 1.0).mean() > 0.95 and (z < 8.0).mean() > 0.95
+
+
+def test_pipeline_rect_engine(tmp_path):
+    """The rect-engine routing (the TPU execution path, use_rect=True) runs
+    the same schedule end-to-end and recovers the scene."""
+    sc = make_plane_scene(tmp_path, width=48, height=36, num_views=3, seed=5)
+    cfg = EngineConfig(use_rect=True, min_rounds=1)
+    ret = run_pipeline(sc.folder, verbose=False, fusion=False, depth=True,
+                       normal=False, weak=False, edge=False, cfg=cfg)
+    assert ret == 0
+    d = np.load(sc.folder / "DPE" / "00000000" / "depth.npy")
+    gt = sc.gt_depths[0]
+    valid = d > 0
+    assert valid.mean() > 0.4
+    err = np.abs(d[valid] - gt[valid]) / gt[valid]
+    assert np.median(err) < 0.03, np.median(err)
