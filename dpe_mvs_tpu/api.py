@@ -38,6 +38,12 @@ def dpe_mvs(
     jaxconfig.setup()
     import jax
 
+    if parallel:
+        # Multi-host bootstrap (no-op unless DPE_MVS_COORDINATOR is set);
+        # must run before the first jax.devices() call.
+        from .parallel.mesh import initialize_distributed
+        initialize_distributed()
+
     devices = jax.devices()
     if 0 <= gpu_index < len(devices):
         dev = devices[gpu_index]

@@ -1,21 +1,24 @@
-"""Mesh-parallel pipeline execution: waves of view-sharded sweeps.
+"""Mesh-parallel pipeline execution: device-resident view-sharded rounds.
 
 Replaces the reference's sequential ``for problem: ProcessProblem`` loop
-(main.cpp:508-567) with data-parallel waves: each wave stacks one problem per
-device, runs the sharded sweep (parallel.mesh.sharded_sweep), and feeds the
-geometric-consistency passes from an in-memory global depth stack instead of
-the reference's ``depths.dmb`` disk round-trip (DPE.cpp:826-844).
+(main.cpp:508-567) with data-parallel execution: all problems are stacked
+(padded to the device count, padding masked), sharded over the mesh, and kept
+**device-resident across the four passes of a resolution round**. The
+geometric-consistency passes read source-view depths through the
+``parallel.mesh.exchange_depths`` all-gather over ICI — the in-memory
+replacement for the reference's ``depths.dmb`` disk round-trip
+(DPE.cpp:826-844). State only returns to the host at round boundaries
+(for the cross-round rescale, which the reference also does host-side).
 
 Cross-view semantics: the reference is accidentally Gauss-Seidel (each
 problem reads whatever mix of old/new depth maps is on disk); the parallel
-executor is deterministically Jacobi — every sweep of iteration k reads
-iteration k-1 depths, which is the natural semantics of the all-gather
-exchange on a pod (SURVEY.md §2.3). On fully device-resident pods the
-``parallel.mesh.exchange_depths`` collective replaces the host staging used
-here.
+executor is deterministically Jacobi — every sweep of pass k reads pass k-1
+depths, the natural semantics of a collective with a barrier (SURVEY.md
+§2.3).
 """
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -25,103 +28,180 @@ import numpy as np
 from .. import config
 from ..config import EngineConfig, PatchMatchParams, PixelState, RunState
 from ..io import formats, scene
+from ..utils.profiling import StageTimer
 from . import schedule as seq
+
+UNKNOWN = int(PixelState.UNKNOWN)
+STRONG = int(PixelState.STRONG)
+
+
+@functools.lru_cache(maxsize=None)
+def _reinit_exec(use_weak: bool):
+    """Jitted between-pass state reset: sanitize depths (out-of-range -> 0,
+    weak -> UNKNOWN, as process_problem does host-side, main.cpp:423-437) and
+    rebuild the transient fields the way ``init_pm_state`` would."""
+    import jax
+    import jax.numpy as jnp
+    from ..engine.state import PMState
+
+    def reinit(state: PMState, depth_min, depth_max, keys) -> PMState:
+        depth = state.plane[..., 3]
+        lo = depth_min[:, None, None]
+        hi = depth_max[:, None, None]
+        bad = (depth < lo) | (depth > hi) | ~jnp.isfinite(depth)
+        plane = state.plane.at[..., 3].set(jnp.where(bad, 0.0, depth))
+        weak = jnp.where(bad, jnp.uint8(UNKNOWN), state.weak)
+        if not use_weak:
+            weak = jnp.full_like(weak, STRONG)
+        return PMState(
+            plane=plane,
+            cost=jnp.full_like(state.cost, 2.0),
+            selected=state.selected,
+            view_weight=jnp.zeros_like(state.view_weight),
+            weak=weak,
+            key=keys,
+        )
+
+    return jax.jit(reinit, donate_argnums=(0,))
 
 
 class ParallelRunner:
     def __init__(self, mesh, problems: List[scene.Problem], v_pad: int,
-                 cfg: EngineConfig):
-        import jax
+                 cfg: EngineConfig, timer: Optional[StageTimer] = None):
         self.mesh = mesh
         self.n_dev = len(mesh.devices.flat)
         self.problems = problems
         self.v_pad = v_pad
         self.cfg = cfg
-        # Host-side global state per problem (the "checkpoint" store).
+        self.timer = timer or StageTimer()
+        # Padded problem count: the SPMD batch must divide the mesh; padding
+        # slots replicate problem 0's inputs and are masked out of writeback
+        # and the exchange index (nothing reads their results).
+        self.n_pad = max(
+            ((len(problems) + self.n_dev - 1) // self.n_dev) * self.n_dev,
+            self.n_dev)
+        self.valid = np.arange(self.n_pad) < len(problems)
+        ids = [p.ref_image_id for p in problems]
+        self.src_index = np.full((self.n_pad, v_pad), -1, np.int32)
+        from ..parallel import mesh as mesh_mod
+        self.src_index[:len(problems)] = mesh_mod.build_src_index(
+            ids, [list(p.src_image_ids) for p in problems], v_pad)
+        # Host-side global state per problem (the cross-round checkpoint).
         self.depth: Dict[int, np.ndarray] = {}
         self.normal: Dict[int, np.ndarray] = {}
         self.weak: Dict[int, np.ndarray] = {}
         self.selected: Dict[int, np.ndarray] = {}
 
-    def _load_inputs(self, p: scene.Problem, params: PatchMatchParams,
-                     scale_size: int) -> scene.ProblemInputs:
-        inputs = scene.load_problem_inputs(
-            p, scale_size, need_prior=False, need_weak=False,
-            need_src_depths=False)
-        H, W = inputs.height, inputs.width
-        if params.state != RunState.FIRST_INIT and p.ref_image_id in self.depth:
-            inputs.prior_depth = scene.rescale_nearest(
-                self.depth[p.ref_image_id], W, H)
-            inputs.prior_normal = scene.rescale_nearest(
-                self.normal[p.ref_image_id], W, H)
-            inputs.prior_selected_views = scene.rescale_nearest(
-                self.selected[p.ref_image_id], W, H)
-        if params.use_APD and p.ref_image_id in self.weak:
-            inputs.weak_info = scene.rescale_nearest(
-                self.weak[p.ref_image_id], W, H)
-        if params.geom_consistency:
-            # In-memory depth exchange (previous iteration, Jacobi).
-            ids = [p.ref_image_id] + list(p.src_image_ids)
-            stack = []
-            for iid in ids:
-                d = self.depth.get(iid)
-                if d is None:
-                    d = np.zeros((H, W), np.float32)
-                stack.append(scene.rescale_nearest(d, W, H))
-            inputs.src_depths = np.stack(stack)
-        return inputs
+    # ------------------------------------------------------------------
+    # Host <-> device boundary (round edges)
+    # ------------------------------------------------------------------
 
-    def run_iteration(self, params: PatchMatchParams, scale_size: int,
-                      max_scale: int, iteration: int,
-                      verbose: bool = False) -> None:
+    def _load_round(self, params_a: PatchMatchParams, scale_size: int,
+                    max_scale: int):
+        """Load every problem's inputs at this round's scale and stack them,
+        with priors/weak resampled from the previous round's host state.
+        Done ONCE per round (the reference re-reads everything per pass)."""
         import jax
         from ..engine import state as st_mod
         from ..parallel import mesh as mesh_mod
 
-        n = len(self.problems)
-        for w0 in range(0, n, self.n_dev):
-            wave = [self.problems[min(w0 + i, n - 1)]
-                    for i in range(self.n_dev)]
-            real = [w0 + i < n for i in range(self.n_dev)]
+        datas, states = [], []
+        for b in range(self.n_pad):
+            p = self.problems[b] if self.valid[b] else self.problems[0]
+            inputs = scene.load_problem_inputs(
+                p, scale_size, need_prior=False, need_weak=False,
+                need_src_depths=False)
+            H, W = inputs.height, inputs.width
+            if params_a.state != RunState.FIRST_INIT and \
+                    p.ref_image_id in self.depth:
+                inputs.prior_depth = scene.rescale_nearest(
+                    self.depth[p.ref_image_id], W, H)
+                inputs.prior_normal = scene.rescale_nearest(
+                    self.normal[p.ref_image_id], W, H)
+                inputs.prior_selected_views = scene.rescale_nearest(
+                    self.selected[p.ref_image_id], W, H)
+            if params_a.use_APD and p.ref_image_id in self.weak:
+                inputs.weak_info = scene.rescale_nearest(
+                    self.weak[p.ref_image_id], W, H)
+            edge, edge_low, label = seq.load_support_maps(
+                p, scale_size, max_scale, params_a, W, H)
+            datas.append(st_mod.build_sweep_data(
+                inputs, self.v_pad, edge, edge_low, label))
+            key = jax.random.key(self.cfg.seed + p.ref_image_id * 1000)
+            states.append(st_mod.init_pm_state(
+                inputs, self.v_pad, key, params_a.use_APD))
+        data = mesh_mod.shard_put(self.mesh, mesh_mod.stack_pytrees(datas))
+        state = mesh_mod.shard_put(self.mesh, mesh_mod.stack_pytrees(states))
+        return data, state
+
+    def _writeback(self, data, state) -> None:
+        """Pull the round's final state to the host dicts (sanitized the way
+        process_problem sanitizes before writing .dmb files)."""
+        planes = np.asarray(state.plane)
+        weaks = np.asarray(state.weak)
+        sels = np.asarray(state.selected)
+        dmin = np.asarray(data.depth_min)
+        dmax = np.asarray(data.depth_max)
+        for b, p in enumerate(self.problems):
+            depth = planes[b, ..., 3].copy()
+            normal = planes[b, ..., :3].copy()
+            weak = weaks[b].copy()
+            bad = (depth < dmin[b]) | (depth > dmax[b]) | ~np.isfinite(depth)
+            depth[bad] = 0.0
+            weak[bad] = UNKNOWN
+            self.depth[p.ref_image_id] = depth.astype(np.float32)
+            self.normal[p.ref_image_id] = normal.astype(np.float32)
+            self.weak[p.ref_image_id] = weak.astype(np.uint8)
+            self.selected[p.ref_image_id] = sels[b].astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # One resolution round, device-resident
+    # ------------------------------------------------------------------
+
+    def run_round(self, round_idx: int, scale_size: int, max_scale: int,
+                  base: PatchMatchParams, verbose: bool = False) -> None:
+        import jax
+        import jax.numpy as jnp
+        from ..parallel import mesh as mesh_mod
+
+        params_a = config.schedule_params(base, round_idx, None)
+        with self.timer.span("load"):
+            data, state = self._load_round(params_a, scale_size, max_scale)
+        src_index = mesh_mod.shard_put(self.mesh, jnp.asarray(self.src_index))
+        ref_ids = jnp.asarray(
+            [self.problems[b].ref_image_id if self.valid[b] else 1_000_000 + b
+             for b in range(self.n_pad)], jnp.uint32)
+        base_key = jax.random.key(self.cfg.seed)
+
+        for j in [None, 0, 1, 2]:
+            params = config.schedule_params(base, round_idx, j)
             t0 = time.time()
-            datas, states = [], []
-            for b, p in enumerate(wave):
-                inputs = self._load_inputs(p, params, scale_size)
-                edge, edge_low, label = seq.load_support_maps(
-                    p, scale_size, max_scale, params, inputs.width,
-                    inputs.height)
-                datas.append(st_mod.build_sweep_data(
-                    inputs, self.v_pad, edge, edge_low, label))
-                key = jax.random.key(
-                    self.cfg.seed + p.ref_image_id * 1000 + iteration)
-                states.append(st_mod.init_pm_state(
-                    inputs, self.v_pad, key, params.use_APD))
-                self._last_inputs = inputs
-            stacked_d = mesh_mod.stack_pytrees(datas)
-            stacked_s = mesh_mod.stack_pytrees(states)
-            out = mesh_mod.sharded_sweep(self.mesh, stacked_d, stacked_s,
-                                         params)
-            planes = np.asarray(out.plane)
-            weaks = np.asarray(out.weak)
-            sels = np.asarray(out.selected)
-            for b, p in enumerate(wave):
-                if not real[b]:
-                    continue
-                depth = planes[b, ..., 3].copy()
-                normal = planes[b, ..., :3].copy()
-                weak = weaks[b].copy()
-                dmin = float(stacked_d.depth_min[b])
-                dmax = float(stacked_d.depth_max[b])
-                bad = (depth < dmin) | (depth > dmax) | ~np.isfinite(depth)
-                depth[bad] = 0.0
-                weak[bad] = int(PixelState.UNKNOWN)
-                self.depth[p.ref_image_id] = depth.astype(np.float32)
-                self.normal[p.ref_image_id] = normal.astype(np.float32)
-                self.weak[p.ref_image_id] = weak.astype(np.uint8)
-                self.selected[p.ref_image_id] = sels[b].astype(np.int32)
+            if j is not None:
+                # Between-pass state reset + in-ICI depth exchange. The
+                # exchange reads the *sanitized* previous pass's depths
+                # (the reference reads the sanitized .dmb files).
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(base_key, i))(
+                        ref_ids * 1000 + (4 * round_idx + j + 1))
+                with self.timer.span("reinit"):
+                    state = _reinit_exec(params.use_APD)(
+                        state, data.depth_min, data.depth_max, keys)
+                with self.timer.span("exchange"):
+                    src = mesh_mod.exchange_depths(
+                        self.mesh, state.plane[..., 3], src_index)
+                data = data._replace(src_depths=src)
+            with self.timer.span("sweep"):
+                state = mesh_mod.sharded_sweep(self.mesh, data, state, params)
+                jax.block_until_ready(state.plane)
             if verbose:
-                print(f"  wave {w0 // self.n_dev}: "
-                      f"{sum(real)} problems in {time.time() - t0:.2f}s")
+                dt = time.time() - t0
+                n = len(self.problems)
+                print(f"  round {round_idx} pass "
+                      f"{'A' if j is None else f'B{j}'}: {n} problems in "
+                      f"{dt:.2f}s ({n / max(dt, 1e-9):.2f} dm/s)")
+
+        with self.timer.span("writeback"):
+            self._writeback(data, state)
 
     def flush_to_disk(self) -> None:
         """Write the reference's per-view checkpoint files."""
@@ -174,21 +254,17 @@ def run_pipeline_parallel(
     while (1 << max_scale) < max_scale_size:
         max_scale += 1
 
-    runner = ParallelRunner(mesh, problems, v_pad, cfg)
+    timer = StageTimer()
+    runner = ParallelRunner(mesh, problems, v_pad, cfg, timer)
     if verbose:
-        print(f"{len(problems)} problems over {runner.n_dev} devices, "
-              f"{round_num} rounds")
+        print(f"{len(problems)} problems over {runner.n_dev} devices "
+              f"(batch {runner.n_pad}), {round_num} rounds")
 
-    iteration = 0
     for i in range(round_num):
         scale_size = 2 ** (round_num - 1 - i)
-        for j in [None, 0, 1, 2]:
-            params = config.schedule_params(base, i, j)
-            runner.run_iteration(params, scale_size, max_scale, iteration,
-                                 verbose)
-            if verbose:
-                print(f"Iteration {iteration + 1} / {round_num * 4} done")
-            iteration += 1
+        runner.run_round(i, scale_size, max_scale, base, verbose)
+        if verbose:
+            print(f"Round {i + 1} / {round_num} done")
 
     runner.flush_to_disk()
     for p in problems:
@@ -199,5 +275,6 @@ def run_pipeline_parallel(
     if not keep_intermediates:
         seq.cleanup_intermediates(problems, round_num)
     if verbose:
+        print("Per-stage wall clock:\n" + timer.summary())
         print("All done")
     return 0

@@ -139,50 +139,59 @@ def load_support_maps(problem: scene.Problem, scale_size: int, max_scale: int,
 def process_problem(problem: scene.Problem, params: PatchMatchParams,
                     scale_size: int, max_scale: int, v_pad: int,
                     cfg: EngineConfig, verbose: bool = False,
-                    inputs: "Optional[scene.ProblemInputs]" = None) -> None:
+                    inputs: "Optional[scene.ProblemInputs]" = None,
+                    timer=None) -> None:
     """One sweep over one problem (``ProcessProblem``, main.cpp:411-472).
 
     ``inputs`` may be supplied pre-loaded (the scheduler prefetches the next
     problem's images while the device sweeps the current one)."""
+    from ..utils.profiling import GLOBAL_TIMER
+    timer = timer if timer is not None else GLOBAL_TIMER
     t0 = time.time()
-    if inputs is None:
-        inputs = scene.load_problem_inputs(
-            problem, scale_size,
-            need_prior=params.state != RunState.FIRST_INIT,
-            need_weak=params.use_APD,
-            need_src_depths=params.geom_consistency,
-        )
-    edge, edge_low, label = load_support_maps(
-        problem, scale_size, max_scale, params, inputs.width, inputs.height)
-    data = state_mod.build_sweep_data(inputs, v_pad, edge, edge_low, label)
-    key = jax.random.key(
-        cfg.seed + problem.ref_image_id * 1000 + problem.iteration)
-    st = state_mod.init_pm_state(inputs, v_pad, key, params.use_APD)
+    with timer.span("load"):
+        if inputs is None:
+            inputs = scene.load_problem_inputs(
+                problem, scale_size,
+                need_prior=params.state != RunState.FIRST_INIT,
+                need_weak=params.use_APD,
+                need_src_depths=params.geom_consistency,
+            )
+        edge, edge_low, label = load_support_maps(
+            problem, scale_size, max_scale, params, inputs.width,
+            inputs.height)
+        data = state_mod.build_sweep_data(inputs, v_pad, edge, edge_low,
+                                          label)
+        key = jax.random.key(
+            cfg.seed + problem.ref_image_id * 1000 + problem.iteration)
+        st = state_mod.init_pm_state(inputs, v_pad, key, params.use_APD)
 
     rstat = None
     if use_rect_engine(cfg):
         from ..engine import rectcost
 
-        rh = _rect_host(problem, inputs, v_pad)
-        src_d = (inputs.src_depths[1:]
-                 if params.geom_consistency and inputs.src_depths is not None
-                 else None)
-        rviews = rectcost.build_rect_views(rh, inputs.images, src_d,
-                                           cameras=inputs.cameras)
-        data = data._replace(rect=rviews)
-        rstat = rh.statics
+        with timer.span("rectify"):
+            rh = _rect_host(problem, inputs, v_pad)
+            src_d = (inputs.src_depths[1:]
+                     if params.geom_consistency and
+                     inputs.src_depths is not None
+                     else None)
+            rviews = rectcost.build_rect_views(rh, inputs.images, src_d,
+                                               cameras=inputs.cameras)
+            data = data._replace(rect=rviews)
+            rstat = rh.statics
 
     # Failure handling (SURVEY.md §5: the reference exits on any CUDA error;
     # here transient device/tunnel failures are retried with backoff).
     last_err = None
     for attempt in range(3):
         try:
-            if rstat is not None:
-                from ..engine.stages import run_sweep_staged
-                st = run_sweep_staged(data, st, params, rstat=rstat)
-            else:
-                st = _compiled_sweep(data, st, params, verbose)(data, st)
-            jax.block_until_ready(st.plane)
+            with timer.span("sweep"):
+                if rstat is not None:
+                    from ..engine.stages import run_sweep_staged
+                    st = run_sweep_staged(data, st, params, rstat=rstat)
+                else:
+                    st = _compiled_sweep(data, st, params, verbose)(data, st)
+                jax.block_until_ready(st.plane)
             last_err = None
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
@@ -195,21 +204,22 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
     if last_err is not None:
         raise last_err
 
-    plane = np.asarray(st.plane)
-    depth = plane[..., 3].copy()
-    normal = plane[..., :3].copy()
-    weak = np.asarray(st.weak).copy()
-    out_of_range = (depth < inputs.depth_min) | (depth > inputs.depth_max) | \
-        ~np.isfinite(depth)
-    depth[out_of_range] = 0.0
-    weak[out_of_range] = int(PixelState.UNKNOWN)
+    with timer.span("writeback"):
+        plane = np.asarray(st.plane)
+        depth = plane[..., 3].copy()
+        normal = plane[..., :3].copy()
+        weak = np.asarray(st.weak).copy()
+        out_of_range = (depth < inputs.depth_min) | \
+            (depth > inputs.depth_max) | ~np.isfinite(depth)
+        depth[out_of_range] = 0.0
+        weak[out_of_range] = int(PixelState.UNKNOWN)
 
-    rf = problem.result_folder
-    formats.write_dmb(rf / "depths.dmb", depth.astype(np.float32))
-    formats.write_dmb(rf / "normals.dmb", normal.astype(np.float32))
-    formats.write_dmb(rf / "weak.bin", weak.astype(np.uint8))
-    formats.write_dmb(rf / "selected_views.bin",
-                      np.asarray(st.selected).astype(np.int32))
+        rf = problem.result_folder
+        formats.write_dmb(rf / "depths.dmb", depth.astype(np.float32))
+        formats.write_dmb(rf / "normals.dmb", normal.astype(np.float32))
+        formats.write_dmb(rf / "weak.bin", weak.astype(np.uint8))
+        formats.write_dmb(rf / "selected_views.bin",
+                          np.asarray(st.selected).astype(np.int32))
 
     if problem.show_medium_result:
         from ..utils import viz
@@ -385,5 +395,8 @@ def run_pipeline(
     if not keep_intermediates:
         cleanup_intermediates(problems, round_num)
     if verbose:
+        from ..utils.profiling import GLOBAL_TIMER
+        if GLOBAL_TIMER.totals:
+            print("Per-stage wall clock:\n" + GLOBAL_TIMER.summary())
         print("All done")
     return 0

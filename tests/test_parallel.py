@@ -61,16 +61,33 @@ def test_exchange_depths(eight_devices, tmp_path):
     B, V = 4, 2
     depth = jnp.arange(B * H * W, dtype=jnp.float32).reshape(B, H, W)
 
-    class FakeState:
-        plane = jnp.concatenate(
-            [jnp.zeros((B, H, W, 3)), depth[..., None]], axis=-1)
-
     src_index = jnp.asarray(
         mesh_mod.build_src_index(list(range(B)),
                                  [[(b + 1) % B] for b in range(B)], V))
-    out = mesh_mod.exchange_depths(mesh, FakeState, src_index)
+    out = mesh_mod.exchange_depths(mesh, depth, src_index)
     assert out.shape == (B, V, H, W)
     # Problem 0's first source is problem 1's depth map.
     np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(depth[1]))
     # Padded slots are zero.
     np.testing.assert_array_equal(np.asarray(out[0, 1]), 0.0)
+
+
+def test_parallel_pipeline_e2e(eight_devices, tmp_path):
+    """The device-resident parallel pipeline (stacked problems, in-ICI depth
+    exchange between geometric passes) recovers the scene end-to-end."""
+    from dpe_mvs_tpu.config import EngineConfig
+    from dpe_mvs_tpu.pipeline.parallel_schedule import run_pipeline_parallel
+
+    sc = make_plane_scene(tmp_path, width=48, height=36, num_views=4, seed=6)
+    mesh = mesh_mod.make_mesh(eight_devices)
+    cfg = EngineConfig(min_rounds=1)
+    ret = run_pipeline_parallel(sc.folder, mesh=mesh, verbose=False,
+                                fusion=False, cfg=cfg)
+    assert ret == 0
+    for v in range(4):
+        d = np.load(sc.folder / "DPE" / f"{v:08d}" / "depth.npy")
+        gt = sc.gt_depths[v]
+        valid = d > 0
+        assert valid.mean() > 0.4, (v, valid.mean())
+        err = np.abs(d[valid] - gt[valid]) / gt[valid]
+        assert np.median(err) < 0.03, (v, np.median(err))
