@@ -156,3 +156,137 @@ def make_plane_scene(
     return SyntheticScene(folder=folder, gt_depths=gt_depths,
                           gt_normals=gt_normals, Ks=Ks, Rs=Rs, ts=ts,
                           weak_region=weak_region_v0)
+
+
+def make_rich_scene(
+    folder,
+    *,
+    width: int = 640,
+    height: int = 480,
+    num_views: int = 10,
+    depth0: float = 4.0,
+    weak_fraction: float = 0.25,
+    seed: int = 0,
+) -> SyntheticScene:
+    """A harder ground-truth scene: two oblique planes, a sphere cap (curved
+    surface), a foreground occluder slab, and large *view-consistent*
+    weak-texture regions (blanked in texture space, so every view sees the
+    same textureless world area). Ray-cast per view: nearest positive hit
+    over all surfaces — occlusions fall out naturally."""
+    rng = np.random.default_rng(seed)
+    folder = Path(folder)
+    (folder / "images").mkdir(parents=True, exist_ok=True)
+    (folder / "cams").mkdir(parents=True, exist_ok=True)
+
+    f = 0.9 * width
+    K = np.array([[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]],
+                 np.float32)
+    tex = procedural_texture(rng)
+    # View-consistent weak regions: blank rectangles of the texture itself.
+    n_blank = max(1, int(weak_fraction * 8))
+    for _ in range(n_blank):
+        ty = rng.integers(0, tex.shape[0] - tex.shape[0] // 3)
+        tx = rng.integers(0, tex.shape[1] - tex.shape[1] // 3)
+        th = rng.integers(tex.shape[0] // 6, tex.shape[0] // 3)
+        tw = rng.integers(tex.shape[1] // 6, tex.shape[1] // 3)
+        tex[ty:ty + th, tx:tx + tw] = float(tex.mean())
+    tex_scale = 80.0
+
+    # Surfaces. Base plane tilted about x; side plane strongly oblique about
+    # y covering x > 0.45; sphere cap bulging toward the cameras; occluder
+    # slab floating nearer, over a small (x, y) window.
+    tilt = 0.18
+    n1 = np.array([0.0, np.sin(tilt), -np.cos(tilt)], np.float32)
+    n1 /= np.linalg.norm(n1)
+    c1 = float(n1 @ np.array([0, 0, depth0]))
+    obl = 0.5
+    n2 = np.array([np.sin(obl), 0.0, -np.cos(obl)], np.float32)
+    n2 /= np.linalg.norm(n2)
+    c2 = float(n2 @ np.array([0.45, 0, depth0 * 0.97]))
+    sph_c = np.array([-0.45, -0.25, depth0 * 0.92], np.float32)
+    sph_r = 0.5
+    n4 = np.array([0.0, 0.0, -1.0], np.float32)
+    c4 = float(n4 @ np.array([0, 0, depth0 * 0.55]))
+
+    radius = 0.3
+    Ks, Rs, ts = [], [], []
+    gt_depths, gt_normals = [], []
+    pairs = []
+
+    for v in range(num_views):
+        ang = 2 * np.pi * v / max(num_views, 1)
+        eye = np.array([radius * np.cos(ang), radius * np.sin(ang), 0.0],
+                       np.float32)
+        if v == 0:
+            eye = np.zeros(3, np.float32)
+        R, t = _look_at(eye, np.array([0, 0, depth0], np.float32))
+
+        ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
+        rays = np.stack([(xs - K[0, 2]) / K[0, 0],
+                         (ys - K[1, 2]) / K[1, 1],
+                         np.ones_like(xs)], axis=-1)
+        rays_w = rays @ R
+        BIG = 1e30
+
+        def plane_hit(n, c, limit=None):
+            denom = rays_w @ n
+            s = (c - eye @ n) / np.where(np.abs(denom) > 1e-9, denom, 1e-9)
+            ok = s > 0.1
+            if limit is not None:
+                X = eye + rays_w * s[..., None]
+                ok &= limit(X)
+            return np.where(ok, s, BIG), np.broadcast_to(
+                n, rays_w.shape).copy()
+
+        s1, nn1 = plane_hit(n1, c1)
+        s2, nn2 = plane_hit(
+            n2, c2, limit=lambda X: X[..., 0] > 0.45)
+        # Sphere: |eye + s d - C|^2 = r^2, smaller positive root.
+        d = rays_w
+        oc = eye - sph_c
+        b = 2.0 * (d * oc).sum(-1)
+        a = (d * d).sum(-1)
+        cq = float(oc @ oc) - sph_r * sph_r
+        disc = b * b - 4 * a * cq
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        s3 = (-b - sq) / (2 * a)
+        s3 = np.where((disc > 0) & (s3 > 0.1), s3, BIG)
+        X3 = eye + d * s3[..., None]
+        nn3 = (X3 - sph_c) / sph_r
+        flip = (nn3 * d).sum(-1) > 0
+        nn3 = np.where(flip[..., None], -nn3, nn3)
+        s4, nn4 = plane_hit(
+            n4, c4,
+            limit=lambda X: (np.abs(X[..., 0] - 0.1) < 0.22) &
+                            (np.abs(X[..., 1] - 0.3) < 0.15))
+
+        ss = np.stack([s1, s2, s3, s4])
+        nns = np.stack([nn1, nn2, nn3, nn4])
+        pick = np.argmin(ss, axis=0)
+        s = np.take_along_axis(ss, pick[None], axis=0)[0]
+        normal = np.take_along_axis(
+            nns, pick[None, ..., None], axis=0)[0]
+        Xw = eye + rays_w * s[..., None]
+        depth = (Xw - eye) @ R[2]
+
+        u = np.mod(Xw[..., 0] * tex_scale, tex.shape[1] - 1)
+        w_ = np.mod(Xw[..., 1] * tex_scale, tex.shape[0] - 1)
+        img = cv2.remap(tex, u.astype(np.float32), w_.astype(np.float32),
+                        cv2.INTER_LINEAR)
+        cv2.imwrite(str(folder / "images" / f"{v:08d}.jpg"),
+                    np.clip(img, 0, 255).astype(np.uint8),
+                    [cv2.IMWRITE_JPEG_QUALITY, 98])
+        dmin = float(depth.min() * 0.9)
+        dmax = float(depth.max() * 1.1)
+        formats.write_cam_txt(folder / "cams" / f"{v:08d}_cam.txt",
+                              K, R, t, dmin, (dmax - dmin) / 192.0, 192, dmax)
+        Ks.append(K.copy())
+        Rs.append(R)
+        ts.append(t)
+        gt_depths.append(depth.astype(np.float32))
+        gt_normals.append(normal.astype(np.float32))
+        pairs.append((v, [(sv, 100.0) for sv in range(num_views) if sv != v]))
+
+    formats.write_pair_txt(folder / "pair.txt", pairs)
+    return SyntheticScene(folder=folder, gt_depths=gt_depths,
+                          gt_normals=gt_normals, Ks=Ks, Rs=Rs, ts=ts)
