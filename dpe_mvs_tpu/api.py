@@ -55,7 +55,8 @@ def dpe_mvs(
             from .pipeline.parallel_schedule import run_pipeline_parallel
             ret = run_pipeline_parallel(
                 dense_folder, verbose=verbose, fusion=fusion, viz=viz,
-                depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg)
+                depth=depth, normal=normal, weak=weak, edge=edge, cfg=cfg,
+                resume=resume)
         else:
             from .pipeline.schedule import run_pipeline
             with jax.default_device(dev):

@@ -728,9 +728,16 @@ def _disparity_setup(data: SweepData, state: PMState):
 
 
 def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
-                    disps: np.ndarray, cost_fn=None) -> jnp.ndarray:
+                    disps: np.ndarray, cost_fn=None,
+                    rstat=None) -> jnp.ndarray:
     """(S, H, W) weighted costs over disparity offsets around the current
-    depth, shared by DepthToWeak and LocalRefine."""
+    depth, shared by DepthToWeak and LocalRefine. With ``rstat`` the whole
+    sweep runs batched on the rect engine (engine/weak_rect.py) — ref-side
+    sums shared across probes."""
+    if rstat is not None:
+        from . import weak_rect
+        return weak_rect.rect_disparity_sweep(data, state, params, rstat,
+                                              disps)
     H, W = data.ref_image.shape
     px, py = geo.pixel_grid(H, W)
     offs = strong_offsets(params)
@@ -752,13 +759,14 @@ def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
 
 
 def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams,
-                  cost_fn=None) -> jnp.ndarray:
+                  cost_fn=None, rstat=None) -> jnp.ndarray:
     """Reclassify pixels from the 61-sample disparity cost profile
     (``DepthToWeak``, DPE.cu:2593-2747). Returns new weak map."""
     H, W = data.ref_image.shape
     radius = 30
     disps = np.arange(-radius, radius + 1, dtype=np.float32)
-    costs = disparity_sweep(data, state, params, disps, cost_fn)  # (61, H, W)
+    costs = disparity_sweep(data, state, params, disps, cost_fn,
+                            rstat=rstat)                      # (61, H, W)
 
     S = costs.shape[0]
     interior = jnp.zeros((S,), bool).at[2:S - 2].set(True)[:, None, None]
@@ -807,11 +815,12 @@ def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams,
 
 
 def local_refine(data: SweepData, state: PMState, params: PatchMatchParams,
-                 cost_fn=None) -> jnp.ndarray:
+                 cost_fn=None, rstat=None) -> jnp.ndarray:
     """±5-disparity depth polish; accept on >=0.1 improvement
     (``LocalRefine``, DPE.cu:2749-2835). Returns new depth channel."""
     disps = np.arange(-5, 6, dtype=np.float32)
-    costs = disparity_sweep(data, state, params, disps, cost_fn)  # (11, H, W)
+    costs = disparity_sweep(data, state, params, disps, cost_fn,
+                            rstat=rstat)                      # (11, H, W)
     n_cam, origin_depth, bl, cnt = _disparity_setup(data, state)
     f = data.ref_cam.fx
     disp0 = f * bl / jnp.where(origin_depth > 0, origin_depth, 1e30)
@@ -823,12 +832,14 @@ def local_refine(data: SweepData, state: PMState, params: PatchMatchParams,
     best_depth = jnp.where(in_range & (min_cost < 2.0), best_depth, origin_depth)
 
     cost_now = costs[5]  # disparity 0 == current depth
-    _, wsum = _selected_weighted_cost(
-        data, state, params,
-        geo.plane_from_depth_normal(
-            data.ref_cam, *geo.pixel_grid(*data.ref_image.shape),
-            origin_depth, n_cam),
-        strong_offsets(params), cost_fn=cost_fn)
+    # The weight norm needs no cost evaluation: it is the selected-view
+    # weight sum (DPE.cu:2784-2794 accumulates it alongside).
+    nview = data.num_src
+    bits = ((state.selected[None] >> jnp.arange(nview, dtype=jnp.uint32)
+             [:, None, None]) & 1) == 1
+    wsum = jnp.sum(
+        jnp.where(bits, jnp.moveaxis(state.view_weight, -1, 0), 0),
+        axis=0).astype(jnp.float32)
     ok = (cost_now - min_cost > 0.1) & (origin_depth != 0) & (wsum > 0) & \
         (cnt > 0)
     return jnp.where(ok, best_depth, origin_depth)

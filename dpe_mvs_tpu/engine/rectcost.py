@@ -64,6 +64,8 @@ class RectView(NamedTuple):
     b_hx: jnp.ndarray         # (H, W) f32
     orig_ok: jnp.ndarray      # (H, W) f32 1 where the orig px maps into the
                               # rect frame (clamped frames leave a border out)
+    H_ref: jnp.ndarray        # (3, 3) f32 orig ref pixel -> rect pixel
+                              # homography (point transforms, weak_rect)
 
 
 class RectStatics(NamedTuple):
@@ -81,6 +83,7 @@ class RectHost(NamedTuple):
     pairs: tuple                     # per-view rectify.RectPair
     fwd: tuple                       # per-view WarpFields (orig -> rect)
     bwd: tuple                       # per-view WarpFields (rect -> orig)
+    sfwd: tuple                      # per-view WarpFields (src orig -> rect)
     statics: RectStatics
 
 
@@ -115,18 +118,19 @@ def build_rect_host(
             max_scale=max_scale, force_size=(wp, hp)))
     pairs = rebuilt
 
-    fwd, bwd = [], []
+    fwd, bwd, sfwd = [], [], []
     for p in pairs:
         fwd.append(rectify.build_warp_fields(p.H_ref, width, height, wp, hp))
         bwd.append(rectify.build_warp_fields(
             np.linalg.inv(p.H_ref), wp, hp, width, height))
+        sfwd.append(_src_warp_fields(p, width, height))
     statics = RectStatics(
         f_transposed=tuple(w.transposed_input for w in fwd),
         b_transposed=tuple(w.transposed_input for w in bwd),
         hp=hp, wp=wp,
     )
     return RectHost(pairs=tuple(pairs), fwd=tuple(fwd), bwd=tuple(bwd),
-                    statics=statics)
+                    sfwd=tuple(sfwd), statics=statics)
 
 
 def _src_warp_fields(pair: rectify.RectPair, width: int, height: int):
@@ -167,7 +171,7 @@ def build_rect_views(
     for i, (pair, wf, wb) in enumerate(zip(rh.pairs, rh.fwd, rh.bwd)):
         n_src = images.shape[0] - 1
         src_i = min(i, n_src - 1)
-        sf = _src_warp_fields(pair, W, H)
+        sf = rh.sfwd[i]
 
         ref_r, src_r = _prep_pair(
             jnp.asarray(images[0]), jnp.asarray(images[1 + src_i]),
@@ -215,6 +219,7 @@ def build_rect_views(
             b_vy=jnp.asarray(wb.vpass_y),
             b_hx=jnp.asarray(wb.hpass_x),
             orig_ok=jnp.asarray(wb.valid.astype(np.float32)),
+            H_ref=jnp.asarray(pair.H_ref.astype(np.float32)),
         ))
     return tuple(views)
 

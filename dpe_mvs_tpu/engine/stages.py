@@ -97,14 +97,36 @@ def _strong_iter(data: SweepData, sup: pm.Support, state: PMState,
     return state
 
 
+def _weakprep_stage(data: SweepData, sup, state: PMState,
+                    params: PatchMatchParams, rstat):
+    """Per-sweep probe volumes + anchor profiles for the rect weak path
+    (engine/weak_rect.py); runs once after init."""
+    from . import weak_rect
+    return weak_rect.build_weak_bundle(data, sup, state, params, rstat)
+
+
 def _weak_iter(data: SweepData, sup: pm.Support, state: PMState,
-               it, key_it, params: PatchMatchParams):
+               it, key_it, params: PatchMatchParams, rstat=None,
+               bundle=None):
     """Fit-plane RANSAC + weak propagation for both colors (matches the
     use_APD branch of run_sweep's iteration body)."""
     from ..ops import weak as weak_ops
 
     sup_it = sup._replace(**weak_ops.fit_plane_ransac(
         jax.random.fold_in(key_it, 2), data, sup, state, params))
+
+    if rstat is not None:
+        from . import weak_rect
+
+        def weak_color_rect(state, color):
+            out = weak_rect.propagate_weak_rect(
+                jax.random.fold_in(key_it, 3 + color), data, sup_it,
+                state, params, it, color, rstat, bundle)
+            return sweep_mod.apply_compacted(
+                state, state.weak == WEAK, color, *out), None
+
+        state, _ = jax.lax.scan(weak_color_rect, state, jnp.arange(2))
+        return state
 
     def weak_color(state, color):
         out = weak_ops.propagate_weak(
@@ -135,18 +157,14 @@ def _finish_stage(data: SweepData, state: PMState, params: PatchMatchParams):
 def _classify_stage(data: SweepData, state: PMState,
                     params: PatchMatchParams, rstat=None):
     """DepthToWeak reclassification (DPE.cu:3222)."""
-    cost_fn = (strong_rect.make_cost_fn(data, params, rstat)
-               if rstat is not None else None)
     return state._replace(weak=pm.depth_to_weak(data, state, params,
-                                                cost_fn=cost_fn))
+                                                rstat=rstat))
 
 
 def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams,
                   rstat=None):
     """LocalRefine depth polish (DPE.cu:3225)."""
-    cost_fn = (strong_rect.make_cost_fn(data, params, rstat)
-               if rstat is not None else None)
-    new_depth = pm.local_refine(data, state, params, cost_fn=cost_fn)
+    new_depth = pm.local_refine(data, state, params, rstat=rstat)
     return state._replace(plane=state.plane.at[..., 3].set(new_depth))
 
 
@@ -160,9 +178,10 @@ def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams,
 _support_j = jax.jit(_support_stage, static_argnames=("params",))
 _init_j = jax.jit(_init_stage, static_argnames=("params", "rstat"),
                   donate_argnums=(1,))
+_weakprep_j = jax.jit(_weakprep_stage, static_argnames=("params", "rstat"))
 _strong_j = jax.jit(_strong_iter, static_argnames=("params", "rstat"),
                     donate_argnums=(2,))
-_weak_j = jax.jit(_weak_iter, static_argnames=("params",),
+_weak_j = jax.jit(_weak_iter, static_argnames=("params", "rstat"),
                   donate_argnums=(2,))
 _finish_j = jax.jit(_finish_stage, static_argnames=("params",),
                     donate_argnums=(1,))
@@ -174,6 +193,7 @@ _refine_j = jax.jit(_refine_stage, static_argnames=("params", "rstat"),
 STAGES = {
     "support": _support_j,
     "init": _init_j,
+    "weakprep": _weakprep_j,
     "strong": _strong_j,
     "weak": _weak_j,
     "finish": _finish_j,
@@ -228,6 +248,11 @@ def run_sweep_staged(
 
     state = timed("init", _init_j, data, state, params, rstat)
 
+    bundle = None
+    if params.use_APD and rstat is not None and "weak" not in skip:
+        bundle = timed("weakprep", _weakprep_j, data, sup, state, params,
+                       rstat)
+
     base_key = keys[1]
     for it in range(params.max_iterations):
         it_dev = jnp.int32(it)
@@ -236,7 +261,7 @@ def run_sweep_staged(
                       params, rstat)
         if params.use_APD:
             state = timed("weak", _weak_j, data, sup, state, it_dev, key_it,
-                          params)
+                          params, rstat, bundle)
 
     state = timed("finish", _finish_j, data, state, params)
     state = timed("classify", _classify_j, data, state, params, rstat)

@@ -1,0 +1,697 @@
+"""Weak-texture machinery on the rectified cost engine (TPU path).
+
+The reference evaluates the deformable NCC (``ComputeBilateralNCCNew``,
+DPE.cu:557-690) with ~9 scattered texture windows per (pixel, view, plane
+candidate) — random 2-D reads the GPU texture cache makes free and a TPU
+cannot do at rate (BASELINE.md). This module restructures the whole weak
+pipeline (``CheckerboardPropagationWeak`` DPE.cu:1668-1862 and its callees)
+around two per-sweep precomputations so that *every* plane evaluation
+afterwards is elementwise VPU work:
+
+  1. **Disparity probe volume** — for each source view, in its rectified
+     frame, the bilateral-NCC window cost at every pixel for ``PROBE_S``
+     static disparity offsets around the sweep-initial plane's disparity
+     (keeping that plane's local slope across the window). Entirely
+     row-local: built with the same banded row gathers as the strong path.
+     In geometric-consistency passes a parallel volume of forward-backward
+     reprojection errors (``ComputeGeomConsistencyCost``, DPE.cu:915-953)
+     is built from the same probes.
+  2. **Anchor profiles** — the weak-window volume and its probe-center
+     disparity, gathered once per sweep at the 8 deformable anchors of
+     every pixel (banded 2-D gather, ops/gather2d).
+
+A candidate plane's deformable cost at pixel p for view v is then
+
+    0.25 * lerp(center profile at p,   disparity of the candidate at p)
+  + 0.75 * mean_j lerp(anchor profile, disparity of the candidate at a_j)
+
+which matches the reference's 0.25/0.75 blend (DPE.cu:680-686), its
+selected-view out-of-bounds accounting (DPE.cu:595-607), and its center
+invalidation (DPE.cu:577-580). Deliberate deviations from the reference,
+all bounded and chosen for TPU shape:
+
+  * anchor/center windows are sampled on the probe lattice (step
+    ``PROBE_STEP`` px, linear interpolation) and with the *initial* plane's
+    within-window slope instead of each candidate's; candidates whose
+    disparity leaves the probe range score COST_MAX;
+  * the bilateral color anchor of an anchor window is that window's own
+    center intensity, not the weak pixel's (DPE.cu:585 uses the weak
+    pixel's);
+  * the adaptive center radius (``radius_cuda``, DPE.cu:620-623) is not
+    applied on this path (the center term carries 0.25 weight); the
+    CPU/XLA engine (ops/weak.py) keeps the exact semantics and the two are
+    cross-checked statistically in tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import COST_MAX, GEOM_COST_MAX, PatchMatchParams, PixelState, RunState
+from ..geometry import cameras as geo
+from ..geometry import rectify
+from ..ops import checker, ncc, rowgather, sampling
+from ..ops import warp as warp_ops
+from . import patchmatch as pm
+from . import rectcost
+from . import strong_rect
+from .state import PMState, SweepData
+
+WEAK = int(PixelState.WEAK)
+STRONG = int(PixelState.STRONG)
+BIG = float(1e30)
+
+PROBE_S = 16           # probes per pixel per view
+PROBE_STEP = 2.0       # px between probes
+VOL_INVALID = 1e4      # marker for invalid volume entries (bf16-exact)
+VALID_THRESH = 1e3
+
+
+def probe_offsets() -> np.ndarray:
+    """Static disparity offsets, centred on 0 (the initial plane)."""
+    return ((np.arange(PROBE_S) - (PROBE_S - 1) / 2.0) * PROBE_STEP
+            ).astype(np.float32)
+
+
+class WeakRectBundle(NamedTuple):
+    """Per-sweep device products of :func:`build_weak_bundle`."""
+
+    vol_center: jnp.ndarray        # (V, S, H, W) bf16 strong-window NCC
+    vol_geom: Optional[jnp.ndarray]  # (V, S, H, W) bf16 geom err, or None
+    d0: jnp.ndarray                # (V, H, W) f32 probe-center disparity
+                                   # (BIG where pixel invalid in that view)
+    ap: jnp.ndarray                # (V, 8, S, H, W) bf16 anchor weak-window
+                                   # NCC profiles
+    a_d0: jnp.ndarray              # (V, 8, H, W) f32 probe-center disparity
+                                   # at the anchors (BIG where invalid)
+
+
+# ---------------------------------------------------------------------------
+# Volume construction (row-local)
+# ---------------------------------------------------------------------------
+
+def _rect_plane_coeffs(rv, plane: jnp.ndarray, statics, i: int,
+                       interpret=None):
+    """Warp the (H, W, 4) ref-cam plane field into rv's rect frame and
+    return its affine disparity coefficient fields (gx, gy, g0), (Hp, Wp)."""
+    pr = rectcost.plane_to_rect(plane, rv.R2r)
+    prw = warp_ops.warp_channels(
+        jnp.moveaxis(pr, -1, 0), rv.f_vy, rv.f_hx,
+        transposed_input=statics.f_transposed[i], nearest=True,
+        interpret=interpret)
+    prw = jnp.moveaxis(prw, 0, -1)
+    return rectify.disparity_coeffs(prw[..., :3], prw[..., 3], rv.f, rv.b)
+
+
+S_CHUNK = 8        # probes per row-gather launch (bounds transient memory)
+
+
+def _sweep_ncc_volume(rv, gxs, gys, g0s, offsets: np.ndarray,
+                      sigma_spatial: float, sigma_color: float,
+                      with_geom: bool, interpret=None):
+    """(S, Hp, Wp) window-NCC cost of S plane-coefficient fields against
+    rv, sharing the probe-independent ref-side sums across all S and
+    batching the source gathers (S_CHUNK probes x row offsets per launch).
+
+    gxs/gys/g0s: (S, Hp, Wp) affine disparity coefficient fields (or
+    broadcastable). Returns (vol, gvol | None, valid) with vol already
+    VOL_INVALID-marked; geom is the forward-backward error
+    (``ComputeGeomConsistencyCost``, DPE.cu:915-953)."""
+    Hp, Wp = rv.ref_rect.shape
+    S = gxs.shape[0]
+    u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+
+    oys = sorted(set(float(o[1]) for o in offsets))
+    ref_c = rv.ref_rect
+    inv_2ss = 1.0 / (2.0 * sigma_spatial * sigma_spatial)
+    inv_2sc = 1.0 / (2.0 * sigma_color * sigma_color)
+
+    # Ref-side sums are probe-independent: one set serves all S probes.
+    sum_w = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_ref = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_ref2 = jnp.zeros((Hp, Wp), jnp.float32)
+    sum_src = jnp.zeros((S, Hp, Wp), jnp.float32)
+    sum_src2 = jnp.zeros((S, Hp, Wp), jnp.float32)
+    sum_rs = jnp.zeros((S, Hp, Wp), jnp.float32)
+
+    for oy in oys:
+        oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+        src_row = rectcost._shift2(rv.src_rect, int(oy), 0)
+        k = len(oxs)
+        refs, ws = [], []
+        for ox in oxs:
+            ref_s = rectcost._shift2(rv.ref_rect, int(oy), int(ox))
+            refs.append(ref_s)
+            spatial = float(np.sqrt(ox * ox + oy * oy))
+            ws.append(jnp.exp(-spatial * inv_2ss
+                              - jnp.abs(ref_s - ref_c) * inv_2sc))
+        for w, r in zip(ws, refs):
+            sum_w = sum_w + w
+            sum_ref = sum_ref + w * r
+            sum_ref2 = sum_ref2 + w * r * r
+
+        for c0 in range(0, S, S_CHUNK):
+            sc = min(S_CHUNK, S - c0)
+            # xs for (offset j, probe s): (Hp, k, sc, Wp) -> one launch.
+            xs_parts = []
+            for ox in oxs:
+                us = u + ox
+                vs = v + oy
+                xs = us[None] + gxs[c0:c0 + sc] * (us[None] - rv.cx) + \
+                    gys[c0:c0 + sc] * (vs[None] - rv.cy) + g0s[c0:c0 + sc]
+                xs_parts.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
+            xs_cat = jnp.stack(xs_parts, axis=1)             # (sc, k, Hp, Wp)
+            xs_cat = jnp.moveaxis(xs_cat, 2, 0)              # (Hp, sc, k, Wp)
+            xs_flat = xs_cat.reshape(Hp, sc * k * Wp)
+            src = rowgather.bilinear_x(src_row, xs_flat, interpret=interpret)
+            src = src.reshape(Hp, sc, k, Wp)
+            src = jnp.moveaxis(src, 1, 0)                    # (sc, Hp, k, Wp)
+            for j in range(k):
+                w = ws[j]
+                r = refs[j]
+                s_j = src[:, :, j]                           # (sc, Hp, Wp)
+                sum_src = sum_src.at[c0:c0 + sc].add(w[None] * s_j)
+                sum_src2 = sum_src2.at[c0:c0 + sc].add(w[None] * s_j * s_j)
+                sum_rs = sum_rs.at[c0:c0 + sc].add((w * r)[None] * s_j)
+
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    var_ref = sum_ref2 * inv_w - m_ref * m_ref
+    m_src = sum_src * inv_w[None]
+    var_src = sum_src2 * inv_w[None] - m_src * m_src
+    covar = sum_rs * inv_w[None] - m_ref[None] * m_src
+    den = jnp.sqrt(jnp.maximum(var_ref[None] * var_src,
+                               rectcost.K_MIN_VAR ** 2))
+    cost = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
+    cost = jnp.where((var_ref[None] < rectcost.K_MIN_VAR) |
+                     (var_src < rectcost.K_MIN_VAR), COST_MAX, cost)
+
+    # Center validity per probe (DPE.cu:577-580 + rect content masks +
+    # cheirality: positive disparity <=> depth in front).
+    d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
+    d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
+    xs_c = u[None] + d_c                                     # (S, Hp, Wp)
+    xs_c_flat = jnp.moveaxis(xs_c, 0, 1).reshape(Hp, S * Wp)
+    ok_flat = rowgather.row_gather(
+        rv.src_ok, jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
+        interpret=interpret)
+    src_ok_c = jnp.moveaxis(ok_flat.reshape(Hp, S, Wp), 1, 0)
+    valid = (rv.ref_ok[None] > 0.5) & (src_ok_c > 0.5) & \
+        (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c > 0) & (d_c < BIG)
+    vol = jnp.where(valid, cost, VOL_INVALID)
+
+    gvol = None
+    if with_geom:
+        z_flat = rowgather.row_gather(
+            rv.src_depth_rect,
+            jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
+            interpret=interpret)
+        z_src = jnp.moveaxis(z_flat.reshape(Hp, S, Wp), 1, 0)
+        x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
+        err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
+        err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
+        gvol = jnp.where(valid, err, VOL_INVALID)
+
+    return vol, gvol, valid
+
+
+def _probe_volume_one(rv, gx, gy, g0, offsets: np.ndarray,
+                      sigma_spatial: float, sigma_color: float,
+                      with_geom: bool, interpret=None):
+    """(S, Hp, Wp) probe-window NCC volume (+ optional geom volume) in rv's
+    rect frame, probing disparities d0 + ds around the plane field behind
+    (gx, gy, g0) while keeping its within-window slope; also returns d0."""
+    Hp, Wp = rv.ref_rect.shape
+    u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+    d0 = gx * (u - rv.cx) + gy * (v - rv.cy) + g0
+    d0 = jnp.where(jnp.isfinite(d0), d0, BIG)
+
+    ds = jnp.asarray(probe_offsets())[:, None, None]
+    gxs = jnp.broadcast_to(gx[None], (PROBE_S, Hp, Wp))
+    gys = jnp.broadcast_to(gy[None], (PROBE_S, Hp, Wp))
+    g0s = g0[None] + ds
+    ok0 = jnp.abs(d0) < BIG
+    vol, gvol, _valid = _sweep_ncc_volume(
+        rv, gxs, gys, g0s, offsets, sigma_spatial, sigma_color, with_geom,
+        interpret=interpret)
+    vol = jnp.where(ok0[None], vol, VOL_INVALID)
+    if gvol is not None:
+        gvol = jnp.where(ok0[None], gvol, VOL_INVALID)
+    d0 = jnp.where((rv.ref_ok > 0.5) & ok0, d0, BIG)
+    return vol, gvol, d0
+
+
+def rect_disparity_sweep(data: SweepData, state: PMState,
+                         params: PatchMatchParams, statics,
+                         disps: np.ndarray, interpret=None) -> jnp.ndarray:
+    """(S, H, W) selected-view-weighted costs over disparity offsets around
+    the current depth — the rect-engine implementation of the probe loops
+    of ``DepthToWeak`` (DPE.cu:2593-2747) and ``LocalRefine``
+    (DPE.cu:2749-2835).
+
+    All S probes share one set of ref-side window sums and their source
+    gathers ride batched row-gather launches (vs. S independent cost-field
+    evaluations) — the classify stage was the second-largest slice of the
+    round-2 pass-A profile."""
+    H, W = data.ref_image.shape
+    S = len(disps)
+    nview = data.num_src
+    cam = data.ref_cam
+    n_cam, origin_depth, bl, _cnt = pm._disparity_setup(data, state)
+    f = cam.fx
+    offs = pm.strong_offsets(params)
+    geom = params.geom_consistency
+
+    bits = ((state.selected[None] >> jnp.arange(nview, dtype=jnp.uint32)
+             [:, None, None]) & 1) == 1
+    w_v = jnp.where(bits, jnp.moveaxis(state.view_weight, -1, 0), 0)
+    wsum = jnp.maximum(jnp.sum(w_v, axis=0).astype(jnp.float32), 1e-30)
+
+    dispsj = jnp.asarray(disps, jnp.float32)[:, None, None]
+    disp0 = f * bl / jnp.where(origin_depth > 0, origin_depth, 1e30)
+    p_depth = f * bl[None] / (disp0[None] + dispsj)
+    in_range = (p_depth >= data.depth_min) & (p_depth <= data.depth_max)
+
+    total = jnp.zeros((S, H, W), jnp.float32)
+    for i, rv in enumerate(data.rect):
+        Hp, Wp = rv.ref_rect.shape
+        u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+        v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+        ch = warp_ops.warp_channels(
+            jnp.stack([n_cam[..., 0], n_cam[..., 1], n_cam[..., 2],
+                       origin_depth, bl]),
+            rv.f_vy, rv.f_hx, transposed_input=statics.f_transposed[i],
+            nearest=True, interpret=interpret)
+        ncx, ncy, ncz, od_r, bl_r = (ch[k] for k in range(5))
+        # Rect-frame normal (plane distances are frame-invariant).
+        R = rv.R2r
+        nrx = R[0, 0] * ncx + R[0, 1] * ncy + R[0, 2] * ncz
+        nry = R[1, 0] * ncx + R[1, 1] * ncy + R[1, 2] * ncz
+        nrz = R[2, 0] * ncx + R[2, 1] * ncy + R[2, 2] * ncz
+        # Probed depth per rect pixel; plane distance from the original
+        # pixel ray (GetDistance2Origin, DPE.cu:337-342) — original coords
+        # via the inverse rect homography, elementwise.
+        disp0_r = f * bl_r / jnp.where(od_r > 0, od_r, 1e30)
+        pdep = f * bl_r[None] / (disp0_r[None] + dispsj)     # (S, Hp, Wp)
+        Hi = jnp.linalg.inv(rv.H_ref)
+        wdiv = Hi[2, 0] * u + Hi[2, 1] * v + Hi[2, 2]
+        wdiv = jnp.where(jnp.abs(wdiv) < 1e-20, 1e-20, wdiv)
+        pox = (Hi[0, 0] * u + Hi[0, 1] * v + Hi[0, 2]) / wdiv
+        poy = (Hi[1, 0] * u + Hi[1, 1] * v + Hi[1, 2]) / wdiv
+        ndotp = ncx * (pox - cam.cx) / cam.fx + \
+            ncy * (poy - cam.cy) / cam.fy + ncz
+        w_s = -pdep * ndotp[None]                            # plane dist
+        safe = jnp.where(jnp.abs(w_s) < 1e-30, 1e-30, w_s)
+        gxs = rv.b * nrx[None] / safe
+        gys = rv.b * nry[None] / safe
+        g0s = rv.b * rv.f * nrz[None] / safe
+
+        vol, gvol, valid = _sweep_ncc_volume(
+            rv, gxs, gys, g0s, offs, params.sigma_spatial,
+            params.sigma_color, with_geom=geom, interpret=interpret)
+        cost_i = jnp.where(valid, vol, COST_MAX)
+        if geom:
+            cost_i = cost_i + params.geom_factor * jnp.where(
+                valid, gvol, GEOM_COST_MAX)
+        back = warp_ops.warp_channels(
+            cost_i, rv.b_vy, rv.b_hx,
+            transposed_input=statics.b_transposed[i], nearest=True,
+            interpret=interpret)                             # (S, H, W)
+        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
+                           else 0.0)
+        back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],
+                         back, cmax)
+        total = total + w_v[i][None] * back
+
+    total = total / wsum[None]
+    return jnp.where(in_range, jnp.minimum(total, COST_MAX), COST_MAX)
+
+
+def _anchor_rect_coords(rv, ax: jnp.ndarray, ay: jnp.ndarray):
+    """Orig-grid anchor pixel coords -> rv's rect frame (float)."""
+    Hm = rv.H_ref
+    axf = ax.astype(jnp.float32)
+    ayf = ay.astype(jnp.float32)
+    wdiv = Hm[2, 0] * axf + Hm[2, 1] * ayf + Hm[2, 2]
+    wdiv = jnp.where(jnp.abs(wdiv) < 1e-20, 1e-20, wdiv)
+    xr = (Hm[0, 0] * axf + Hm[0, 1] * ayf + Hm[0, 2]) / wdiv
+    yr = (Hm[1, 0] * axf + Hm[1, 1] * ayf + Hm[1, 2]) / wdiv
+    return xr, yr
+
+
+def build_weak_bundle(data: SweepData, sup, state: PMState,
+                      params: PatchMatchParams, statics,
+                      interpret=None) -> WeakRectBundle:
+    """Build the per-sweep probe volumes + anchor profiles.
+
+    ``state`` must be post-init (plane in ref-cam (n, dist) layout,
+    DPE.cu:3195 ordering: GenNeighbours' anchors in ``sup.neighbours``)."""
+    H, W = data.ref_image.shape
+    offs_strong = pm.strong_offsets(params)
+    offs_weak = ncc.window_offsets(params.weak_radius, params.weak_increment)
+    geom = params.geom_consistency
+
+    anchors = sup.neighbours                    # (8, H, W, 2) int32, -1 pad
+    ax = anchors[..., 0]
+    ay = anchors[..., 1]
+
+    vols_c, vols_g, d0s, aps, a_d0s = [], [], [], [], []
+    for i, rv in enumerate(data.rect):
+        gx, gy, g0 = _rect_plane_coeffs(rv, state.plane, statics, i,
+                                        interpret)
+        # Strong-window (center) volume, warped to the orig grid.
+        vc, vg, d0r = _probe_volume_one(
+            rv, gx, gy, g0, offs_strong, params.sigma_spatial,
+            params.sigma_color, with_geom=geom, interpret=interpret)
+        def back(chans):
+            return warp_ops.warp_channels(
+                chans, rv.b_vy, rv.b_hx,
+                transposed_input=statics.b_transposed[i], nearest=True,
+                interpret=interpret)
+
+        ok_o = rv.orig_ok > 0.5
+        vc_o = jnp.where(ok_o[None], back(vc), VOL_INVALID)
+        vols_c.append(vc_o.astype(jnp.bfloat16))
+        if geom:
+            vg_o = jnp.where(ok_o[None], back(vg), VOL_INVALID)
+            vols_g.append(vg_o.astype(jnp.bfloat16))
+        d0_o = jnp.where(ok_o, back(d0r[None])[0], BIG)
+        d0s.append(d0_o)
+
+        # Weak-window (anchor) volume, gathered at the anchors in-rect.
+        vw, _, _ = _probe_volume_one(
+            rv, gx, gy, g0, offs_weak, params.sigma_spatial,
+            params.sigma_color, with_geom=False, interpret=interpret)
+        axr, ayr = _anchor_rect_coords(rv, ax, ay)
+        qy = jnp.round(ayr).astype(jnp.int32).reshape(8 * H, W)
+        qx = jnp.round(axr).astype(jnp.int32).reshape(8 * H, W)
+        chans = jnp.concatenate([vw, d0r[None]], axis=0)     # (S+1, Hp, Wp)
+        g2 = sampling.gather_map(
+            jnp.moveaxis(chans, 0, -1), qy, qx)              # (8H, W, S+1)
+        g2 = jnp.moveaxis(g2, -1, 0).reshape(PROBE_S + 1, 8, H, W)
+        aps.append(g2[:PROBE_S].astype(jnp.bfloat16))
+        a_d0s.append(g2[PROBE_S])
+
+    return WeakRectBundle(
+        vol_center=jnp.stack(vols_c),
+        vol_geom=jnp.stack(vols_g) if geom else None,
+        d0=jnp.stack(d0s),
+        ap=jnp.stack(aps).swapaxes(1, 2),                    # (V, 8, S, H, W)
+        a_d0=jnp.stack(a_d0s),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Elementwise profile interpolation
+# ---------------------------------------------------------------------------
+
+def interp_profile(prof: jnp.ndarray, srel: jnp.ndarray):
+    """Linear interpolation of (*B, S, H, W) profiles along S at
+    ``srel`` px (same (*B, H, W)); returns (value f32, valid bool).
+
+    The S axis is walked with one-hot selects — XLA TPU would serialize a
+    take_along_axis here."""
+    sf = srel / PROBE_STEP + (PROBE_S - 1) / 2.0
+    in_range = (sf >= 0.0) & (sf <= PROBE_S - 1.0)
+    s0f = jnp.clip(jnp.floor(sf), 0.0, PROBE_S - 2.0)
+    f = jnp.clip(sf - s0f, 0.0, 1.0)
+    s0 = s0f.astype(jnp.int32)
+    v0 = prof[..., 0, :, :].astype(jnp.float32)
+    v1 = prof[..., 1, :, :].astype(jnp.float32)
+    for s in range(1, PROBE_S - 1):
+        m = s0 == s
+        v0 = jnp.where(m, prof[..., s, :, :].astype(jnp.float32), v0)
+        v1 = jnp.where(m, prof[..., s + 1, :, :].astype(jnp.float32), v1)
+    val = v0 * (1.0 - f) + v1 * f
+    ok = in_range & (v0 < VALID_THRESH) & (v1 < VALID_THRESH)
+    return val, ok
+
+
+class WeakSites(NamedTuple):
+    """Per-(sweep, color) compacted inputs of the deformable cost."""
+
+    vol_center: jnp.ndarray      # (V, S, H, W2)
+    vol_geom: Optional[jnp.ndarray]
+    d0: jnp.ndarray              # (V, H, W2)
+    ap: jnp.ndarray              # (V, 8, S, H, W2)
+    a_d0: jnp.ndarray            # (V, 8, H, W2)
+    cx: jnp.ndarray              # (H, W2) site coords
+    cy: jnp.ndarray
+    xr: jnp.ndarray              # (V, H, W2) site coords in each rect frame
+    yr: jnp.ndarray
+    a_xr: jnp.ndarray            # (V, 8, H, W2) anchor coords in rect frames
+    a_yr: jnp.ndarray
+    anchor_valid: jnp.ndarray    # (8, H, W2)
+    anchor_strong: jnp.ndarray   # (8, H, W2) anchor is STRONG
+    anchor_sel: jnp.ndarray      # (8, H, W2) uint32 selected views @ anchor
+    anchor_plane: jnp.ndarray    # (8, H, W2, 4) current plane @ anchor
+
+
+def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
+                     color) -> WeakSites:
+    """Compact the bundle + fresh anchor state gathers for one color.
+
+    Anchor planes/selected-views are re-gathered each iteration — the
+    reference reads them live (DPE.cu:1690-1716, 2928-2945) and strong
+    iterations update them between colors."""
+    H, W = data.ref_image.shape
+    cx, cy = checker.sites(H, W, color)
+    anchors = checker.compact_stack(sup.neighbours, color)   # (8, H, W2, 2)
+    a_x = anchors[..., 0]
+    a_y = anchors[..., 1]
+    a_valid = a_x >= 0
+
+    # Fresh state at anchors: plane (4 ch) + selected (bitcast f32) +
+    # weak state, one banded gather.
+    packed = jnp.concatenate([
+        state.plane,
+        jax.lax.bitcast_convert_type(state.selected, jnp.float32)[..., None],
+        state.weak.astype(jnp.float32)[..., None],
+    ], axis=-1)                                              # (H, W, 6)
+    q_y = a_y.reshape(8 * H, -1)
+    q_x = a_x.reshape(8 * H, -1)
+    g = sampling.gather_map(packed, q_y, q_x)                # (8H, W2, 6)
+    g = g.reshape(8, H, -1, 6)
+    anchor_plane = g[..., :4]
+    anchor_sel = jax.lax.bitcast_convert_type(g[..., 4], jnp.uint32)
+    anchor_strong = g[..., 5].astype(jnp.int32) == STRONG
+
+    comp = functools.partial(checker.compact, color=color)
+    V = bundle.d0.shape[0]
+
+    def comp_v(arr):                     # (V, *sp, H, W) -> (V, *sp, H, W2)
+        flat = arr.reshape((-1,) + arr.shape[-2:])
+        out = jax.vmap(comp)(flat[..., None])[..., 0]
+        return out.reshape(arr.shape[:-2] + out.shape[-2:])
+
+    xr_l, yr_l, a_xr_l, a_yr_l = [], [], [], []
+    for i, rv in enumerate(data.rect):
+        xr, yr = _anchor_rect_coords(rv, cx, cy)
+        xr_l.append(xr)
+        yr_l.append(yr)
+        axr, ayr = _anchor_rect_coords(rv, a_x, a_y)
+        a_xr_l.append(axr)
+        a_yr_l.append(ayr)
+
+    return WeakSites(
+        vol_center=comp_v(bundle.vol_center),
+        vol_geom=(comp_v(bundle.vol_geom)
+                  if bundle.vol_geom is not None else None),
+        d0=comp_v(bundle.d0),
+        ap=comp_v(bundle.ap),
+        a_d0=comp_v(bundle.a_d0),
+        cx=cx, cy=cy,
+        xr=jnp.stack(xr_l), yr=jnp.stack(yr_l),
+        a_xr=jnp.stack(a_xr_l), a_yr=jnp.stack(a_yr_l),
+        anchor_valid=a_valid,
+        anchor_strong=anchor_strong,
+        anchor_sel=anchor_sel,
+        anchor_plane=anchor_plane,
+    )
+
+
+def deformable_cost_rect(data: SweepData, sites: WeakSites,
+                         plane: jnp.ndarray, params: PatchMatchParams
+                         ) -> jnp.ndarray:
+    """(V, H, W2) *photometric* deformable NCC of a candidate plane field
+    at the compacted sites, through profile interpolation (semantics of
+    ``ComputeBilateralNCCNew``, DPE.cu:557-690). The geometric term is
+    separate (:func:`geom_term_rect`) — the reference adds it after view
+    selection (DPE.cu:1786-1798)."""
+    out = []
+    for i, rv in enumerate(data.rect):
+        pr = rectcost.plane_to_rect(plane, rv.R2r)           # (H, W2, 4)
+        gx, gy, g0 = rectify.disparity_coeffs(
+            pr[..., :3], pr[..., 3], rv.f, rv.b)
+        d_c = gx * (sites.xr[i] - rv.cx) + gy * (sites.yr[i] - rv.cy) + g0
+        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
+        c0, ok_c = interp_profile(sites.vol_center[i], d_c - sites.d0[i])
+
+        # Anchor windows: candidate's disparity evaluated at each anchor.
+        d_a = gx[None] * (sites.a_xr[i] - rv.cx) + \
+            gy[None] * (sites.a_yr[i] - rv.cy) + g0[None]    # (8, H, W2)
+        d_a = jnp.where(jnp.isfinite(d_a), d_a, BIG)
+        val_a, ok_a = interp_profile(sites.ap[i], d_a - sites.a_d0[i])
+        sel_here = ((sites.anchor_sel >> jnp.uint32(i)) & 1) == 1
+        # Out-of-profile anchor ~ reference's out-of-src-image anchor:
+        # counts COST_MAX only if that anchor had selected this view
+        # (DPE.cu:595-607).
+        contrib = jnp.where(ok_a, jnp.clip(val_a, 0.0, COST_MAX),
+                            jnp.where(sel_here, COST_MAX, 0.0))
+        counts = jnp.where(ok_a, 1.0, jnp.where(sel_here, 1.0, 0.0))
+        strong_sum = jnp.sum(
+            jnp.where(sites.anchor_valid, contrib, 0.0), axis=0)
+        strong_cnt = jnp.sum(
+            jnp.where(sites.anchor_valid, counts, 0.0), axis=0)
+        strong_cost = jnp.minimum(
+            strong_sum / jnp.maximum(strong_cnt, 1.0), COST_MAX)
+
+        c0 = jnp.clip(c0, 0.0, COST_MAX)
+        cost = jnp.where(strong_cnt > 0, 0.25 * c0 + 0.75 * strong_cost, c0)
+        cost = jnp.where(ok_c & data.view_valid[i], cost, COST_MAX)
+        out.append(cost)
+    return jnp.stack(out)
+
+
+def geom_term_rect(data: SweepData, sites: WeakSites, plane: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """(V, H, W2) forward-backward geometric consistency of a candidate at
+    the sites, from the probe volume (``ComputeGeomConsistencyCost``,
+    DPE.cu:915-953)."""
+    out = []
+    for i, rv in enumerate(data.rect):
+        pr = rectcost.plane_to_rect(plane, rv.R2r)
+        gx, gy, g0 = rectify.disparity_coeffs(
+            pr[..., :3], pr[..., 3], rv.f, rv.b)
+        d_c = gx * (sites.xr[i] - rv.cx) + gy * (sites.yr[i] - rv.cy) + g0
+        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
+        gval, ok_g = interp_profile(sites.vol_geom[i], d_c - sites.d0[i])
+        out.append(jnp.where(ok_g, jnp.clip(gval, 0.0, GEOM_COST_MAX),
+                             GEOM_COST_MAX))
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Weak checkerboard propagation (CheckerboardPropagationWeak, DPE.cu:1668)
+# ---------------------------------------------------------------------------
+
+def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
+                        params: PatchMatchParams, it, color, rstat,
+                        bundle: WeakRectBundle):
+    """One color's weak-pixel proposal on the rect engine; same contract as
+    ops/weak.propagate_weak (compacted outputs, caller scatters + masks)."""
+    H, W = data.ref_image.shape
+    nview = data.num_src
+    k_sel, k_ref = jax.random.split(key)
+    geom = params.geom_consistency
+
+    sites = build_weak_sites(data, sup, state, bundle, color)
+    px, py = sites.cx, sites.cy
+    plane_now = checker.compact(state.plane, color)
+    selected_now = checker.compact(state.selected, color)
+
+    flags = sites.anchor_valid & sites.anchor_strong         # (8, H, W2)
+    cand_planes = sites.anchor_plane                         # (8, H, W2, 4)
+
+    cost_array = jax.lax.map(
+        lambda pl_: deformable_cost_rect(data, sites, pl_, params),
+        cand_planes)                                         # (8, V, H, W2)
+    cost_array = jnp.where(flags[:, None], cost_array, 0.0)
+
+    # Priors from all valid anchors (DPE.cu:1717-1730).
+    bits = ((sites.anchor_sel[:, None] >> jnp.arange(
+        nview, dtype=jnp.uint32)[None, :, None, None]) & 1) == 1
+    prior = jnp.sum(jnp.where(sites.anchor_valid[:, None],
+                              jnp.where(bits, 0.9, 0.1), 0.0), axis=0)
+
+    view_weight, temp_selected, weight_norm = pm.view_selection(
+        k_sel, cost_array, prior, data.view_valid, it)
+    wsum = jnp.maximum(weight_norm, 1e-30)
+
+    if geom:
+        # Geom is excluded from view selection and added to the final
+        # weighted costs (DPE.cu:1786-1798).
+        geom_rows = jax.lax.map(
+            lambda pl_: geom_term_rect(data, sites, pl_), cand_planes)
+        geom_rows = jnp.where(flags[:, None], geom_rows, GEOM_COST_MAX)
+        cost_array = cost_array + params.geom_factor * geom_rows
+
+    final_costs = jnp.sum(view_weight[None] * cost_array, axis=1) / wsum[None]
+    min_idx = jnp.argmin(final_costs, axis=0)
+    min_flag = strong_rect._select_k(flags, min_idx)
+    min_cost = strong_rect._select_k(final_costs, min_idx)
+    min_plane = strong_rect._select_k(cand_planes, min_idx)
+
+    def eval_weighted(cand):
+        c = deformable_cost_rect(data, sites, cand, params)
+        if geom:
+            c = c + params.geom_factor * geom_term_rect(data, sites, cand)
+        return jnp.sum(view_weight * c, axis=0) / wsum
+
+    cost_now = eval_weighted(plane_now)
+    cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
+    stored_cost = cost_now
+
+    depth_now = geo.depth_from_plane(data.ref_cam, plane_now, px, py)
+    depth_before = geo.depth_from_plane(data.ref_cam, min_plane, px, py)
+    accept = min_flag & (depth_before >= data.depth_min) & \
+        (depth_before <= data.depth_max) & (min_cost < cost_now)
+
+    plane = jnp.where(accept[..., None], min_plane, plane_now)
+    depth = jnp.where(accept, depth_before, depth_now)
+    cost = jnp.where(accept, min_cost, cost_now)
+    selected = jnp.where(accept, temp_selected, selected_now)
+
+    # Refinement (PlaneHypothesisRefinementWeak, DPE.cu:1120-1212): the
+    # RANSAC fit plane first, then the 5 perturbation combos.
+    fit = checker.compact(sup.fit_plane, color)
+    fit_nonzero = jnp.any(fit[..., :3] != 0.0, axis=-1)
+    c_fit = eval_weighted(fit)
+    d_fit = geo.depth_from_plane(data.ref_cam, fit, px, py)
+    ok = fit_nonzero & (d_fit >= data.depth_min) & \
+        (d_fit <= data.depth_max) & (c_fit < cost) & (weight_norm > 0)
+    plane = jnp.where(ok[..., None], fit, plane)
+    depth = jnp.where(ok, d_fit, depth)
+    cost = jnp.where(ok, c_fit, cost)
+
+    depths_c, normals_c = pm.refine_combos(k_ref, data, plane, depth, px, py)
+
+    def refine_body(carry, xs):
+        plane, depth, cost = carry
+        d_i, n_i = xs
+        cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
+        c = eval_weighted(cand)
+        d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
+        ok = (d_chk >= data.depth_min) & (d_chk <= data.depth_max) & \
+            (c < cost) & (weight_norm > 0)
+        plane = jnp.where(ok[..., None], cand, plane)
+        depth = jnp.where(ok, d_chk, depth)
+        cost = jnp.where(ok, c, cost)
+        return (plane, depth, cost), None
+
+    (plane, depth, cost), _ = jax.lax.scan(
+        refine_body, (plane, depth, cost), (depths_c, normals_c))
+
+    if params.state == RunState.REFINE_INIT:
+        accept_final = cost < stored_cost - 0.1
+        plane = jnp.where(accept_final[..., None], plane, plane_now)
+
+    # Re-express the stored cost with the standard strong NCC (full field,
+    # masked later) so weak and strong costs are comparable during
+    # propagation (DPE.cu:1845-1861).
+    plane_full = checker.scatter(state.plane, plane, color)
+    offs = pm.strong_offsets(params)
+    final_vec_full = rectcost.rect_cost_vector(
+        data.rect, rstat, plane_full, data.view_valid, params, offs,
+        geom=False)                                          # (V, H, W)
+    final_vec = checker.compact_stack(final_vec_full, color)
+    final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
+    final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
+
+    return plane, final_cost, selected, view_weight

@@ -151,9 +151,10 @@ def gen_neighbours(
         jnp.maximum(norm, 1e-6) * jnp.asarray(vlen)[:, None, None])
     ok = ok & (cosang > cos_thresh)
     # Edge limit: line of sight must not cross an edge (DPE.cu:2201).
-    cross = los.crossing(px[None], py[None], ax.astype(jnp.float32),
-                         ay.astype(jnp.float32), data.edge)
-    ok = ok & (~(edge_limit[None] & cross))
+    if los is not None:
+        cross = los.crossing(px[None], py[None], ax.astype(jnp.float32),
+                             ay.astype(jnp.float32), data.edge)
+        ok = ok & (~(edge_limit[None] & cross))
     pool_x = [ax]
     pool_y = [ay]
     pool_valid = [ok]
@@ -245,8 +246,7 @@ def gen_neighbours(
     def fit_depth_at(nrm, d, fxx, fyy):
         return -d / (nrm[..., 0] * fxx + nrm[..., 1] * fyy + nrm[..., 2])
 
-    def pick(arr, idx):
-        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+    pick = sampling.pick_last
 
     def step(carry, k):
         (best_plane, best_count, best_dist, thr, must_tri, has_norm,
@@ -266,9 +266,12 @@ def gen_neighbours(
         ok = distinct & va & (in_tri | ~must_tri)
 
         if need_normals:
-            na = jnp.take_along_axis(pool_n, ia[..., None, None], axis=-2)[..., 0, :]
-            nb = jnp.take_along_axis(pool_n, ib[..., None, None], axis=-2)[..., 0, :]
-            nc = jnp.take_along_axis(pool_n, ic[..., None, None], axis=-2)[..., 0, :]
+            def pick3(idx):
+                return jnp.stack(
+                    [pick(pool_n[..., k], idx) for k in range(3)], -1)
+            na = pick3(ia)
+            nb = pick3(ib)
+            nc = pick3(ic)
             dotab = jnp.sum(na * nb, -1)
             dotac = jnp.sum(na * nc, -1)
             dotbc = jnp.sum(nb * nc, -1)
@@ -280,10 +283,11 @@ def gen_neighbours(
             consist = jnp.zeros((H, W), bool)
 
         # Edge tests on triangle sides (DPE.cu:2323-2339).
-        cr_ab = los.crossing(ax, ay, bx, by, data.edge)
-        cr_bc = los.crossing(bx, by, cx_, cy_, data.edge)
-        cr_ca = los.crossing(cx_, cy_, ax, ay, data.edge)
-        ok = ok & ~(edge_limit & (cr_ab | cr_bc | cr_ca))
+        if los is not None:
+            cr_ab = los.crossing(ax, ay, bx, by, data.edge)
+            cr_bc = los.crossing(bx, by, cx_, cy_, data.edge)
+            cr_ca = los.crossing(cx_, cy_, ax, ay, data.edge)
+            ok = ok & ~(edge_limit & (cr_ab | cr_bc | cr_ca))
 
         # Plane through the three cam-frame 3D points.
         za = pick(pool_z, ia)
@@ -355,8 +359,8 @@ def gen_neighbours(
     w = jnp.where(pool_valid & (resid < ransac_threshold), resid, BIG)
     neg_top, top_idx = jax.lax.top_k(-w, 8)                   # (H, W, 8)
     sel_valid = (-neg_top) < BIG
-    nb_x = jnp.where(sel_valid, jnp.take_along_axis(pool_x, top_idx, -1), -1)
-    nb_y = jnp.where(sel_valid, jnp.take_along_axis(pool_y, top_idx, -1), -1)
+    nb_x = jnp.where(sel_valid, sampling.take_last(pool_x, top_idx), -1)
+    nb_y = jnp.where(sel_valid, sampling.take_last(pool_y, top_idx), -1)
 
     reliable = has_valid & (pool_size > 3)
     is_weak = state.weak == WEAK

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def gather_2x2(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
@@ -80,11 +81,57 @@ def lookup_int(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarra
 
 def gather_map(arr: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """arr[(iy, ix)] with clamp; arr (H, W, ...) and integer index arrays of a
-    common shape S -> (*S, ...)."""
+    common shape S -> (*S, ...).
+
+    On TPU, large gathers route through the banded Pallas kernel
+    (:mod:`.gather2d`) — XLA TPU lowers general gathers to a serial
+    per-index loop (BASELINE.md). Elsewhere (and for small gathers) XLA's
+    native vectorized gather is used."""
     H, W = arr.shape[:2]
+    iy = jnp.broadcast_to(iy, jnp.broadcast_shapes(iy.shape, ix.shape))
+    ix = jnp.broadcast_to(ix, iy.shape)
+    n = int(np.prod(iy.shape)) if iy.shape else 1
+    if jax.default_backend() == "tpu" and n >= 65536:
+        from . import gather2d as g2d
+        S = iy.shape
+        q2 = (int(np.prod(S[:-1])), S[-1]) if len(S) >= 2 else (1, n)
+        iy2 = iy.reshape(q2).astype(jnp.int32)
+        ix2 = ix.reshape(q2).astype(jnp.int32)
+        trail = arr.shape[2:]
+        C = int(np.prod(trail)) if trail else 1
+        flat = jnp.moveaxis(arr.reshape(H, W, C), -1, 0)       # (C, H, W)
+        dt = flat.dtype
+        if dt == jnp.uint8 or dt == jnp.int8 or dt == jnp.bool_:
+            flat = flat.astype(jnp.int32)
+        out = g2d.gather2d(flat, iy2, ix2)                     # (C, *q2)
+        out = jnp.moveaxis(out, 0, -1).astype(arr.dtype)
+        return out.reshape(*S, *trail) if trail else out.reshape(S)
     lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
     flat = arr.reshape(H * W, *arr.shape[2:])
     return jnp.take(flat, lin, axis=0)
+
+
+def take_last(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.take_along_axis(arr, idx, axis=-1)`` for small static last
+    axes. On TPU the gather is replaced by a one-hot select chain — XLA TPU
+    serializes even tiny axis gathers (BASELINE.md), and the RANSAC loops
+    (DPE.cu:2302-2435, 2947-3046 analogues) pick from <=64-slot pools every
+    iteration. arr (..., P); idx (..., K) int -> (..., K)."""
+    P = arr.shape[-1]
+    if jax.default_backend() != "tpu" or P > 64:
+        return jnp.take_along_axis(arr, idx, axis=-1)
+    out = jnp.broadcast_to(
+        arr[..., 0:1], jnp.broadcast_shapes(arr.shape[:-1] + (1,), idx.shape)
+    ).astype(arr.dtype)
+    for p in range(1, P):
+        out = jnp.where(idx == p, arr[..., p:p + 1], out)
+    return out
+
+
+def pick_last(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """One pick per element along a small last axis: arr (..., P),
+    idx (...) int -> (...). TPU-safe (see :func:`take_last`)."""
+    return take_last(arr, idx[..., None])[..., 0]
 
 
 def shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:

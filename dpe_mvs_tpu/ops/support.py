@@ -71,14 +71,28 @@ def _grids(H: int, W: int):
 
 def _gather_planes(field: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
                    oob_fill) -> jnp.ndarray:
-    """field (D, H, W); per-plane dynamic offsets. ty/tx (D, H, W) absolute
-    indices; out-of-bounds -> oob_fill."""
+    """field (D, H, W); per-plane *uniform* dynamic offsets. ty/tx (D, H, W)
+    absolute indices of the form grid + per-plane constant; out-of-bounds ->
+    oob_fill.
+
+    Every caller shifts each plane by one (possibly traced) offset, so this
+    is a dynamic roll + edge mask per plane — XLA TPU would serialize the
+    equivalent flat ``jnp.take`` into a per-index loop (BASELINE.md)."""
     D, H, W = field.shape
-    d_idx = jnp.arange(D, dtype=jnp.int32)[:, None, None]
-    oob = (tx < 0) | (tx >= W) | (ty < 0) | (ty >= H)
-    lin = d_idx * (H * W) + jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
-    vals = jnp.take(field.reshape(-1), lin)
-    return jnp.where(oob, oob_fill, vals)
+    xg = jnp.arange(W, dtype=jnp.int32)[None, :]
+    yg = jnp.arange(H, dtype=jnp.int32)[:, None]
+    # ty = grid + per-plane offset and grid[0, 0] == 0, so the offsets are
+    # the corner values.
+    off_y = ty[:, 0, 0]
+    off_x = tx[:, 0, 0]
+
+    def one(img, oy, ox):
+        rolled = jnp.roll(img, (-oy, -ox), axis=(0, 1))
+        ok = (yg + oy >= 0) & (yg + oy < H) & \
+            (xg + ox >= 0) & (xg + ox < W)
+        return jnp.where(ok, rolled, oob_fill)
+
+    return jax.vmap(one)(field, off_y, off_x)
 
 
 def ray_first_hit_multi(mask: jnp.ndarray, vecs: np.ndarray, max_steps: int
@@ -223,8 +237,13 @@ def jfa_nearest(mask: jnp.ndarray, max_dist: float
         cand_d = jax.vmap(dist2)(cx, cy)              # (8, H, W)
         best_o = jnp.argmin(cand_d, axis=0)
         cand_best_d = jnp.min(cand_d, axis=0)
-        cbx = jnp.take_along_axis(cx, best_o[None], 0)[0]
-        cby = jnp.take_along_axis(cy, best_o[None], 0)[0]
+        # One-hot pick along the small leading axis (XLA TPU serializes
+        # take_along_axis).
+        cbx, cby = cx[0], cy[0]
+        for o in range(1, 8):
+            m = best_o == o
+            cbx = jnp.where(m, cx[o], cbx)
+            cby = jnp.where(m, cy[o], cby)
         better = cand_best_d < dist2(bx, by)
         return (jnp.where(better, cbx, bx), jnp.where(better, cby, by))
 
@@ -277,13 +296,17 @@ class LineOfSight(NamedTuple):
         bin_ba = (bin_ab + 8) % 16
 
         Hl, Wl = self.free_dist.shape[1:]
-        flat = self.free_dist.reshape(-1)
+        # Fold the 16 direction planes into rows so the whole lookup is one
+        # banded 2-D gather (TPU) / one XLA gather (CPU) — see
+        # ops/sampling.gather_map.
+        stacked = self.free_dist.reshape(16 * Hl, Wl)
 
         def free_at(b, x, y):
+            from . import sampling
             ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wl - 1)
             iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hl - 1)
-            lin = b.astype(jnp.int32) * (Hl * Wl) + iy * Wl + ix
-            return jnp.take(flat, lin)
+            return sampling.gather_map(stacked, b.astype(jnp.int32) * Hl + iy,
+                                       ix)
 
         fa = free_at(bin_ab, lx_a, ly_a)
         fb = free_at(bin_ba, lx_b, ly_b)
@@ -293,9 +316,10 @@ class LineOfSight(NamedTuple):
         Hf, Wf = edge_full.shape
 
         def edge_at(x, y):
-            ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wf - 1)
-            iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hf - 1)
-            return edge_full.reshape(-1)[iy * Wf + ix]
+            from . import sampling
+            ix = jnp.round(x).astype(jnp.int32)
+            iy = jnp.round(y).astype(jnp.int32)
+            return sampling.gather_map(edge_full, iy, ix)
 
         on_edge = edge_at(ax, ay) | edge_at(bx, by)
         return jnp.where(on_edge, False, hit)

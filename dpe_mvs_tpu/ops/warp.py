@@ -80,7 +80,6 @@ def warp_channels(
     src = jnp.swapaxes(img, 1, 2) if transposed_input else img
     h_in, w_in = src.shape[1], src.shape[2]
     h_out = vpass_y.shape[0]
-    flat = src.reshape(C * h_in, w_in)
 
     # Pass 1 on the transposed layout: gather along the (C*h_in) axis per
     # column — do it channel-batched on the transposed image instead.

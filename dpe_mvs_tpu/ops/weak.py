@@ -177,8 +177,7 @@ def fit_plane_ransac(key, data: SweepData, sup, state: PMState,
     must_tri0 = ~(jnp.full((H, W), params.use_label, bool)
                   & (data.label > 0) & edge_limit)
 
-    def pick(arr, idx):
-        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+    pick = sampling.pick_last
 
     def step(carry, k):
         best_plane, min_cost, has_best, has_strong, must_tri, tri = carry
@@ -199,9 +198,12 @@ def fit_plane_ransac(key, data: SweepData, sup, state: PMState,
         pcx, pcy = pick(ax, ic).astype(jnp.float32), pick(ay, ic).astype(jnp.float32)
 
         if params.geom_consistency:
-            na = jnp.take_along_axis(a_n, ia[..., None, None], -2)[..., 0, :]
-            nb = jnp.take_along_axis(a_n, ib[..., None, None], -2)[..., 0, :]
-            nc = jnp.take_along_axis(a_n, ic[..., None, None], -2)[..., 0, :]
+            def pick3(idx):
+                return jnp.stack(
+                    [pick(a_n[..., k], idx) for k in range(3)], -1)
+            na = pick3(ia)
+            nb = pick3(ib)
+            nc = pick3(ic)
             consist = (jnp.sum(na * nb, -1) >= 0.8660254) & \
                 (jnp.sum(na * nc, -1) >= 0.8660254) & \
                 (jnp.sum(nb * nc, -1) >= 0.8660254)

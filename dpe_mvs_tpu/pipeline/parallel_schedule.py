@@ -213,6 +213,24 @@ class ParallelRunner:
             formats.write_dmb(rf / "selected_views.bin",
                               self.selected[p.ref_image_id])
 
+    def load_from_disk(self) -> bool:
+        """Reload the host round state from the checkpoint files (resume).
+        Returns False if any file is missing."""
+        for p in self.problems:
+            rf = p.result_folder
+            try:
+                self.depth[p.ref_image_id] = formats.read_dmb(
+                    rf / "depths.dmb").astype(np.float32)
+                self.normal[p.ref_image_id] = formats.read_dmb(
+                    rf / "normals.dmb").astype(np.float32)
+                self.weak[p.ref_image_id] = formats.read_dmb(
+                    rf / "weak.bin").astype(np.uint8)
+                self.selected[p.ref_image_id] = formats.read_dmb(
+                    rf / "selected_views.bin").astype(np.int32)
+            except Exception:
+                return False
+        return True
+
 
 def run_pipeline_parallel(
     dense_folder,
@@ -227,8 +245,14 @@ def run_pipeline_parallel(
     edge: bool = False,
     cfg: Optional[EngineConfig] = None,
     keep_intermediates: bool = False,
+    resume: bool = False,
 ) -> int:
-    """Mesh-parallel variant of ``run_pipeline``. Identical outputs."""
+    """Mesh-parallel variant of ``run_pipeline``. Identical outputs.
+
+    ``resume=True`` resumes at *round* granularity: each completed round is
+    checkpointed to the reference's .dmb files plus DPE/progress.json
+    (iteration = 4*(round+1) - 1), and completed rounds are skipped by
+    reloading that state (SURVEY.md §5 checkpoint/resume)."""
     from ..parallel import mesh as mesh_mod
 
     cfg = cfg or EngineConfig()
@@ -260,13 +284,22 @@ def run_pipeline_parallel(
         print(f"{len(problems)} problems over {runner.n_dev} devices "
               f"(batch {runner.n_pad}), {round_num} rounds")
 
+    done_iter = seq._load_progress(dense_folder) if resume else -1
+    done_rounds = (done_iter + 1) // 4
+    if done_rounds > 0 and not runner.load_from_disk():
+        done_rounds = 0
+
     for i in range(round_num):
         scale_size = 2 ** (round_num - 1 - i)
+        if i < done_rounds:
+            if verbose:
+                print(f"Round {i + 1} / {round_num} resumed from checkpoint")
+            continue
         runner.run_round(i, scale_size, max_scale, base, verbose)
+        runner.flush_to_disk()
+        seq._save_progress(dense_folder, 4 * (i + 1) - 1)
         if verbose:
             print(f"Round {i + 1} / {round_num} done")
-
-    runner.flush_to_disk()
     for p in problems:
         seq.export_npy(p, depth=depth, normal=normal, weak=weak, edge=edge)
     if fusion:

@@ -1,0 +1,91 @@
+"""Rect-engine weak machinery (engine/weak_rect.py) on CPU interpret mode.
+
+The rect weak path approximates ``ComputeBilateralNCCNew`` (DPE.cu:557-690)
+with probe-volume interpolation (deviations documented in the module
+docstring), so parity with the XLA path is statistical: an APD sweep from a
+noisy prior must land near ground truth like ops/weak.propagate_weak does.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpe_mvs_tpu.config import PatchMatchParams, schedule_params
+from dpe_mvs_tpu.engine import rectcost, weak_rect
+from dpe_mvs_tpu.engine import state as st_mod
+from dpe_mvs_tpu.engine.stages import run_sweep_staged
+from dpe_mvs_tpu.io import scene as scene_mod
+from dpe_mvs_tpu.utils.synthetic import make_plane_scene
+
+
+def _problem(tmp_path, w=48, h=36, views=3, seed=3):
+    sc = make_plane_scene(str(tmp_path), width=w, height=h, num_views=views,
+                         seed=seed)
+    problems = scene_mod.generate_sample_list(sc.folder)
+    inputs = scene_mod.load_problem_inputs(
+        problems[0], 1, need_prior=False, need_weak=False,
+        need_src_depths=False)
+    return sc, inputs
+
+
+def test_apd_sweep_rect_after_round0(tmp_path):
+    """Round-0 FIRST_INIT sweep -> round-1 REFINE_INIT APD sweep on the
+    rect engine (the real schedule's entry into the weak machinery,
+    main.cpp:508-556). The APD sweep must run end to end, touch some
+    pixels, and not degrade the depth map (REFINE_INIT accepts only 0.1
+    cost improvements, DPE.cu:1656-1665)."""
+    sc, inputs = _problem(tmp_path)
+    h, w = inputs.height, inputs.width
+    v_pad = 2
+    rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                  inputs.height, v_pad)
+    views_r = rectcost.build_rect_views(rh, inputs.images, None,
+                                        cameras=inputs.cameras)
+    data = st_mod.build_sweep_data(inputs, v_pad)._replace(rect=views_r)
+    gt = sc.gt_depths[0]
+
+    p0 = schedule_params(PatchMatchParams(), 0, None).replace(
+        max_iterations=2)
+    st = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
+    st = run_sweep_staged(data, st, p0, rstat=rh.statics)
+    d0 = np.asarray(st.plane)[..., 3]
+    weak_frac = float(np.mean(np.asarray(st.weak) == 0))
+    assert 0.0 < weak_frac < 1.0        # classify produced a mixed map
+
+    p1 = schedule_params(PatchMatchParams(), 1, None).replace(
+        use_edge=False, use_limit=False, use_label=False, max_iterations=1)
+    assert p1.use_APD
+    st1 = st._replace(key=jax.random.key(7))
+    st1 = run_sweep_staged(data, st1, p1, rstat=rh.statics)
+
+    d1 = np.asarray(st1.plane)[..., 3]
+    rel0 = np.abs(d0 - gt) / gt
+    rel1 = np.abs(d1 - gt) / gt
+    assert float(np.mean(np.abs(d1 - d0) > 1e-6)) > 0.005   # did work
+    assert float(np.median(rel1)) <= float(np.median(rel0)) + 0.003
+
+
+def test_interp_profile_matches_lerp():
+    rng = np.random.default_rng(0)
+    S = weak_rect.PROBE_S
+    prof = rng.uniform(0, 2, (S, 8, 16)).astype(np.float32)
+    srel = rng.uniform(-1.2, 1.2, (8, 16)).astype(np.float32) * \
+        (S / 2) * weak_rect.PROBE_STEP
+    val, ok = weak_rect.interp_profile(jnp.asarray(prof), jnp.asarray(srel))
+    val, ok = np.asarray(val), np.asarray(ok)
+    sf = srel / weak_rect.PROBE_STEP + (S - 1) / 2.0
+    inr = (sf >= 0) & (sf <= S - 1)
+    assert np.array_equal(ok, inr)
+    s0 = np.clip(np.floor(sf), 0, S - 2).astype(int)
+    f = np.clip(sf - s0, 0, 1)
+    ii, jj = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+    expect = prof[s0, ii, jj] * (1 - f) + prof[s0 + 1, ii, jj] * f
+    np.testing.assert_allclose(val[inr], expect[inr], rtol=1e-5)
+
+
+def test_interp_profile_invalid_marker():
+    S = weak_rect.PROBE_S
+    prof = np.full((S, 4, 4), weak_rect.VOL_INVALID, np.float32)
+    val, ok = weak_rect.interp_profile(
+        jnp.asarray(prof), jnp.zeros((4, 4), jnp.float32))
+    assert not np.asarray(ok).any()

@@ -80,15 +80,33 @@ def main() -> int:
           f"edge={params.use_edge} geom={params.geom_consistency} "
           f"state={params.state.name}", flush=True)
 
+    warm = None
+    if apd:
+        # A REFINE_INIT+APD sweep needs a real prior (depths, selected
+        # views, weak map) — the schedule always enters it from round 0's
+        # output (main.cpp:508-556). Produce one with a FIRST_INIT sweep.
+        import jax.numpy as jnp
+        p0 = schedule_params(PatchMatchParams(), 0, None)
+        st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(99), False)
+        t1 = time.time()
+        st0 = run_sweep_staged(data, st0, p0, rstat=rstat)
+        np.asarray(jax.device_get(st0.plane))
+        print(f"--- warmup FIRST_INIT sweep: {time.time() - t1:.2f}s "
+              f"(weak frac "
+              f"{float(jnp.mean((st0.weak == 0).astype(jnp.float32))):.2f})",
+              flush=True)
+        warm = st0
+
     for rep in range(3):
         timer = StageTimer(echo=True)
-        st = st_mod.init_pm_state(inputs, v_pad, jax.random.key(rep), apd)
         if apd:
-            mid = 0.5 * (inputs.depth_min + inputs.depth_max)
-            plane = np.zeros((height, width, 4), np.float32)
-            plane[..., 2] = -1.0
-            plane[..., 3] = mid
-            st = st._replace(plane=jax.numpy.asarray(plane))
+            st = st_mod.PMState(
+                plane=warm.plane, cost=warm.cost, selected=warm.selected,
+                view_weight=warm.view_weight, weak=warm.weak,
+                key=jax.random.key(rep))
+        else:
+            st = st_mod.init_pm_state(inputs, v_pad, jax.random.key(rep),
+                                      apd)
         t1 = time.time()
         st = run_sweep_staged(data, st, params, rstat=rstat, timer=timer,
                               skip=skip)
