@@ -52,30 +52,59 @@ def main() -> int:
     params = schedule_params(PatchMatchParams(), 0, None)  # round-0 pass A
     st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
 
-    def sweep(st, seed):
+    bench_start = time.time()
+
+    def sweep(st, seed, p):
         st = run_sweep_staged(data, st._replace(key=jax.random.key(seed)),
-                              params, rstat=rh.statics)
+                              p, rstat=rh.statics)
         # Axon gotcha: block_until_ready returns early; force a readback.
         np.asarray(jax.device_get(st.plane[..., 3]))
         return st
 
-    # Warm up (compiles every stage executable).
-    sweep(st0, 0)
+    def measure(st, p, reps=5):
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            sweep(st, i + 1, p)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
 
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        sweep(st0, i + 1)
-        times.append(time.perf_counter() - t0)
-    sweep_time = float(np.median(times))
-    value = 1.0 / sweep_time
-
-    print(json.dumps({
+    # Pass A (round 0): FIRST_INIT photometric. Warm-up compiles stages.
+    st_a = sweep(st0, 0, params)
+    t_a = measure(st0, params)
+    out = {
         "metric": "depth-maps/sec/chip",
-        "value": round(value, 4),
+        "value": round(1.0 / t_a, 4),
         "unit": "dm/s",
-        "vs_baseline": round(value / 1.0, 4),
-    }))
+        "vs_baseline": round(1.0 / t_a, 4),
+    }
+
+    # Pass B (rounds >= 1): REFINE_ITER with APD + edge + geometric
+    # consistency — the schedule's modal sweep (3 of every 4,
+    # main.cpp:508-556). Skipped if compile already ate the time budget
+    # (the axon compile service is sometimes wedged for >20 min).
+    budget_s = float(__import__("os").environ.get("DPE_BENCH_BUDGET", 3000))
+    if time.time() - bench_start < budget_s:
+        try:
+            import jax.numpy as jnp
+            params_b = schedule_params(PatchMatchParams(), 1, 0)
+            mid = 0.5 * (inputs.depth_min + inputs.depth_max)
+            src_d = np.full((v_pad, height, width), mid, np.float32)
+            rviews_b = rectcost.build_rect_views(
+                rh, inputs.images, src_d, cameras=inputs.cameras)
+            data = data._replace(
+                rect=rviews_b,
+                src_depths=jnp.asarray(src_d))
+            st_b0 = st_a._replace(key=jax.random.key(100))
+            sweep(st_b0, 0, params_b)
+            t_b = measure(st_b0, params_b, reps=3)
+            out["passB_dms"] = round(1.0 / t_b, 4)
+            # One schedule round = pass A + 3 geometric passes.
+            out["round_dms"] = round(1.0 / (t_a + 3 * t_b), 4)
+        except Exception as e:  # pragma: no cover - report partial result
+            out["passB_error"] = f"{type(e).__name__}: {str(e)[:100]}"
+
+    print(json.dumps(out))
     return 0
 
 

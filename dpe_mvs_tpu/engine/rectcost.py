@@ -66,6 +66,16 @@ class RectView(NamedTuple):
                               # rect frame (clamped frames leave a border out)
     H_ref: jnp.ndarray        # (3, 3) f32 orig ref pixel -> rect pixel
                               # homography (point transforms, weak_rect)
+    # Stacked mode only (statics.stacked, parallel executor): the warp
+    # transpose decisions as runtime flags + the src-depth warp fields so
+    # device-resident exchanged depths can be rectified inside the jit.
+    f_flag: Optional[jnp.ndarray] = None   # () f32
+    b_flag: Optional[jnp.ndarray] = None   # () f32
+    s_vy: Optional[jnp.ndarray] = None     # (Hp, d) src orig -> rect
+    s_hx: Optional[jnp.ndarray] = None     # (Hp, Wp)
+    s_flag: Optional[jnp.ndarray] = None   # () f32
+    s_valid: Optional[jnp.ndarray] = None  # (Hp, Wp) f32
+    s_zfac: Optional[jnp.ndarray] = None   # (H, W) f32 src z -> rect z
 
 
 class RectStatics(NamedTuple):
@@ -75,6 +85,10 @@ class RectStatics(NamedTuple):
     b_transposed: Tuple[bool, ...]   # per view, backward warp
     hp: int
     wp: int
+    # Stacked mode (parallel executor): warp-field shapes are square-padded
+    # and the transpose flags live in RectView as runtime values, so one
+    # statics (and one compiled program) serves every problem.
+    stacked: bool = False
 
 
 class RectHost(NamedTuple):
@@ -90,12 +104,21 @@ class RectHost(NamedTuple):
 def build_rect_host(
     cameras: Sequence, width: int, height: int, v_pad: int,
     max_scale: float = 1.6,
+    force_size: Optional[Tuple[int, int]] = None,
+    stacked: bool = False,
 ) -> RectHost:
     """Rectify every (ref, src) pair of a problem on the host.
 
     ``cameras``: [ref, src...] objects with .K/.R/.t NumPy arrays (as in
     ProblemInputs). Padding views replicate the last real pair (masked out
-    at cost time by ``view_valid``)."""
+    at cost time by ``view_valid``).
+
+    ``force_size=(wp, hp)`` forces a common rect frame (must dominate every
+    pair's natural frame — the parallel executor passes the max over all
+    problems so RectView pytrees stack). ``stacked=True`` additionally emits
+    shape-uniform warp fields with runtime transpose flags
+    (rectify.StackedWarpFields) so one compiled program serves problems
+    with different warp orientations."""
     ref = cameras[0]
     pairs = []
     for src in cameras[1:]:
@@ -108,8 +131,11 @@ def build_rect_host(
         pairs.append(pairs[-1])
     pairs = pairs[:v_pad]
 
-    hp = max(p.height for p in pairs)
-    wp = max(p.width for p in pairs)
+    if force_size is not None:
+        wp, hp = force_size
+    else:
+        hp = max(p.height for p in pairs)
+        wp = max(p.width for p in pairs)
     # Rebuild with the common frame so views stack.
     rebuilt = []
     for p, src in zip(pairs, (list(cameras[1:]) + [cameras[-1]] * v_pad)):
@@ -120,17 +146,73 @@ def build_rect_host(
 
     fwd, bwd, sfwd = [], [], []
     for p in pairs:
-        fwd.append(rectify.build_warp_fields(p.H_ref, width, height, wp, hp))
-        bwd.append(rectify.build_warp_fields(
-            np.linalg.inv(p.H_ref), wp, hp, width, height))
-        sfwd.append(_src_warp_fields(p, width, height))
+        if stacked:
+            d_f = max(width, height)
+            d_b = max(wp, hp)
+            fwd.append(rectify.build_warp_fields_stacked(
+                p.H_ref, width, height, wp, hp, d_f))
+            bwd.append(rectify.build_warp_fields_stacked(
+                np.linalg.inv(p.H_ref), wp, hp, width, height, d_b))
+            sfwd.append(rectify.build_warp_fields_stacked(
+                p.H_src, width, height, wp, hp, d_f))
+        else:
+            fwd.append(rectify.build_warp_fields(
+                p.H_ref, width, height, wp, hp))
+            bwd.append(rectify.build_warp_fields(
+                np.linalg.inv(p.H_ref), wp, hp, width, height))
+            sfwd.append(_src_warp_fields(p, width, height))
     statics = RectStatics(
-        f_transposed=tuple(w.transposed_input for w in fwd),
-        b_transposed=tuple(w.transposed_input for w in bwd),
-        hp=hp, wp=wp,
+        f_transposed=(tuple(False for _ in fwd) if stacked else
+                      tuple(w.transposed_input for w in fwd)),
+        b_transposed=(tuple(False for _ in bwd) if stacked else
+                      tuple(w.transposed_input for w in bwd)),
+        hp=hp, wp=wp, stacked=stacked,
     )
     return RectHost(pairs=tuple(pairs), fwd=tuple(fwd), bwd=tuple(bwd),
                     sfwd=tuple(sfwd), statics=statics)
+
+
+# ---------------------------------------------------------------------------
+# Warp dispatch: static per-problem layout vs stacked runtime-flag layout
+# ---------------------------------------------------------------------------
+
+def warp_fwd_channels(rv: "RectView", statics: RectStatics, i: int,
+                      chans: jnp.ndarray, nearest: bool = True,
+                      interpret=None) -> jnp.ndarray:
+    """(C, H, W) orig-grid channels -> (C, Hp, Wp) in rv's rect frame."""
+    if statics.stacked:
+        return warp_ops.warp_channels_dyn(
+            chans, rv.f_vy, rv.f_hx, rv.f_flag, nearest=nearest,
+            interpret=interpret)
+    return warp_ops.warp_channels(
+        chans, rv.f_vy, rv.f_hx, transposed_input=statics.f_transposed[i],
+        nearest=nearest, interpret=interpret)
+
+
+def warp_bwd(rv: "RectView", statics: RectStatics, i: int,
+             img: jnp.ndarray, nearest: bool = True,
+             interpret=None) -> jnp.ndarray:
+    """(Hp, Wp) rect field -> (H, W) orig grid."""
+    if statics.stacked:
+        return warp_ops.warp_separable_dyn(
+            img, rv.b_vy, rv.b_hx, rv.b_flag, nearest=nearest,
+            interpret=interpret)
+    return warp_ops.warp_separable(
+        img, rv.b_vy, rv.b_hx, transposed_input=statics.b_transposed[i],
+        nearest=nearest, interpret=interpret)
+
+
+def warp_bwd_channels(rv: "RectView", statics: RectStatics, i: int,
+                      chans: jnp.ndarray, nearest: bool = True,
+                      interpret=None) -> jnp.ndarray:
+    """(C, Hp, Wp) rect channels -> (C, H, W) orig grid."""
+    if statics.stacked:
+        return warp_ops.warp_channels_dyn(
+            chans, rv.b_vy, rv.b_hx, rv.b_flag, nearest=nearest,
+            interpret=interpret)
+    return warp_ops.warp_channels(
+        chans, rv.b_vy, rv.b_hx, transposed_input=statics.b_transposed[i],
+        nearest=nearest, interpret=interpret)
 
 
 def _src_warp_fields(pair: rectify.RectPair, width: int, height: int):
@@ -167,20 +249,31 @@ def build_rect_views(
     shape (the warps are rowgather kernels; keep them off the eager path —
     every eager op is a separately compiled module on the axon backend)."""
     H, W = images.shape[1:]
+    stacked = rh.statics.stacked
     views = []
     for i, (pair, wf, wb) in enumerate(zip(rh.pairs, rh.fwd, rh.bwd)):
         n_src = images.shape[0] - 1
         src_i = min(i, n_src - 1)
         sf = rh.sfwd[i]
 
-        ref_r, src_r = _prep_pair(
-            jnp.asarray(images[0]), jnp.asarray(images[1 + src_i]),
-            jnp.asarray(wf.vpass_y), jnp.asarray(wf.hpass_x),
-            jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
-            ft=wf.transposed_input, st=sf.transposed_input,
-            interpret=interpret)
+        if stacked:
+            ref_r = warp_ops.warp_separable_dyn(
+                jnp.asarray(images[0]), jnp.asarray(wf.vpass_y),
+                jnp.asarray(wf.hpass_x), jnp.asarray(wf.transposed),
+                interpret=interpret)
+            src_r = warp_ops.warp_separable_dyn(
+                jnp.asarray(images[1 + src_i]), jnp.asarray(sf.vpass_y),
+                jnp.asarray(sf.hpass_x), jnp.asarray(sf.transposed),
+                interpret=interpret)
+        else:
+            ref_r, src_r = _prep_pair(
+                jnp.asarray(images[0]), jnp.asarray(images[1 + src_i]),
+                jnp.asarray(wf.vpass_y), jnp.asarray(wf.hpass_x),
+                jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
+                ft=wf.transposed_input, st=sf.transposed_input,
+                interpret=interpret)
 
-        if src_depths is not None:
+        if src_depths is not None or stacked:
             # Source depths live in the SOURCE's pixel grid along the SRC
             # z-axis; the rect frame needs z along the rect z-axis:
             # z_rect = (R2s row 3) . X_src = depth * (r3 . p~_src). The
@@ -195,13 +288,36 @@ def build_rect_views(
             r3 = pair.R2s[2]
             factor = (r3[0] * p_s[0] + r3[1] * p_s[1] + r3[2] * p_s[2]) \
                 .astype(np.float32)
-            dep_r = _prep_depth(
-                jnp.asarray(src_depths[src_i] * factor),
-                jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
-                jnp.asarray(sf.valid), st=sf.transposed_input,
-                interpret=interpret)
+            if src_depths is not None and not stacked:
+                dep_r = _prep_depth(
+                    jnp.asarray(src_depths[src_i] * factor),
+                    jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
+                    jnp.asarray(sf.valid), st=sf.transposed_input,
+                    interpret=interpret)
+            elif src_depths is not None:
+                dep_r = warp_ops.warp_separable_dyn(
+                    jnp.asarray(src_depths[src_i] * factor),
+                    jnp.asarray(sf.vpass_y), jnp.asarray(sf.hpass_x),
+                    jnp.asarray(sf.transposed), nearest=True,
+                    interpret=interpret)
+                dep_r = jnp.where(jnp.asarray(sf.valid), dep_r, 0.0)
+            else:
+                dep_r = jnp.zeros((rh.statics.hp, rh.statics.wp),
+                                  jnp.float32)
         else:
             dep_r = jnp.zeros((rh.statics.hp, rh.statics.wp), jnp.float32)
+
+        extra = {}
+        if stacked:
+            extra = dict(
+                f_flag=jnp.asarray(wf.transposed),
+                b_flag=jnp.asarray(wb.transposed),
+                s_vy=jnp.asarray(sf.vpass_y),
+                s_hx=jnp.asarray(sf.hpass_x),
+                s_flag=jnp.asarray(sf.transposed),
+                s_valid=jnp.asarray(sf.valid.astype(np.float32)),
+                s_zfac=jnp.asarray(factor),
+            )
 
         views.append(RectView(
             ref_rect=ref_r,
@@ -220,8 +336,27 @@ def build_rect_views(
             b_hx=jnp.asarray(wb.hpass_x),
             orig_ok=jnp.asarray(wb.valid.astype(np.float32)),
             H_ref=jnp.asarray(pair.H_ref.astype(np.float32)),
+            **extra,
         ))
     return tuple(views)
+
+
+def rectify_src_depths(rect: Tuple[RectView, ...], statics: RectStatics,
+                       src_depths: jnp.ndarray,       # (V, H, W) orig grid
+                       interpret=None) -> Tuple[RectView, ...]:
+    """Device-side counterpart of the host src-depth rectification in
+    :func:`build_rect_views` for stacked mode: warp exchanged depth maps
+    (parallel.mesh.exchange_depths) into each view's rect frame inside the
+    jit — zero host staging (SURVEY §2.3 #2)."""
+    assert statics.stacked
+    out = []
+    for i, rv in enumerate(rect):
+        dep_r = warp_ops.warp_separable_dyn(
+            src_depths[i] * rv.s_zfac, rv.s_vy, rv.s_hx, rv.s_flag,
+            nearest=True, interpret=interpret)
+        dep_r = jnp.where(rv.s_valid > 0.5, dep_r, 0.0)
+        out.append(rv._replace(src_depth_rect=dep_r))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -372,20 +507,15 @@ def rect_cost_vector(
     out = []
     for i, rv in enumerate(views):
         pr = plane_to_rect(plane, rv.R2r)                    # (H, W, 4)
-        prw = warp_ops.warp_channels(
-            jnp.moveaxis(pr, -1, 0), rv.f_vy, rv.f_hx,
-            transposed_input=statics.f_transposed[i], nearest=True,
-            interpret=interpret)
+        prw = warp_fwd_channels(rv, statics, i, jnp.moveaxis(pr, -1, 0),
+                                interpret=interpret)
         prw = jnp.moveaxis(prw, 0, -1)                       # (Hp, Wp, 4)
         c = ncc_rect_one(rv, prw, offsets, params.sigma_spatial,
                          params.sigma_color, interpret=interpret)
         if geom:
             g = geom_rect_one(rv, prw, interpret=interpret)
             c = c + params.geom_factor * g
-        c_orig = warp_ops.warp_separable(
-            c, rv.b_vy, rv.b_hx,
-            transposed_input=statics.b_transposed[i], nearest=True,
-            interpret=interpret)
+        c_orig = warp_bwd(rv, statics, i, c, interpret=interpret)
         cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom else 0.0)
         c_orig = jnp.where((rv.orig_ok > 0.5) & view_valid[i], c_orig,
                            cmax)

@@ -202,6 +202,46 @@ STAGES = {
 }
 
 
+def run_sweep_traced(data: SweepData, state: PMState,
+                     params: PatchMatchParams, rstat=None) -> PMState:
+    """The full sweep as ONE traceable function — the sharded executor
+    (parallel/mesh.py) maps this under shard_map, where separately-jitted
+    stages cannot be dispatched. Same computation and key schedule as
+    :func:`run_sweep_staged`."""
+    keys = jax.random.split(state.key, 32)
+
+    if rstat is not None and getattr(rstat, "stacked", False) and \
+            params.geom_consistency and data.src_depths is not None:
+        # Device-resident exchanged depths -> rect frames, inside the jit.
+        from . import rectcost
+        data = data._replace(rect=rectcost.rectify_src_depths(
+            data.rect, rstat, data.src_depths))
+
+    sup = pm.Support(*([None] * len(pm.Support._fields)))
+    if params.use_APD or params.use_edge:
+        sup, state = _support_stage(data, state, keys[0], params)
+
+    state = _init_stage(data, state, params, rstat)
+
+    bundle = None
+    if params.use_APD and rstat is not None:
+        bundle = _weakprep_stage(data, sup, state, params, rstat)
+
+    base_key = keys[1]
+    for it in range(params.max_iterations):
+        it_dev = jnp.int32(it)
+        key_it = jax.random.fold_in(base_key, it_dev)
+        state = _strong_iter(data, sup, state, it_dev, key_it, params, rstat)
+        if params.use_APD:
+            state = _weak_iter(data, sup, state, it_dev, key_it, params,
+                               rstat, bundle)
+
+    state = _finish_stage(data, state, params)
+    state = _classify_stage(data, state, params, rstat)
+    state = _refine_stage(data, state, params, rstat)
+    return state._replace(key=keys[-1])
+
+
 def run_sweep_staged(
     data: SweepData,
     state: PMState,

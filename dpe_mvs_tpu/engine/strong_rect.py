@@ -85,15 +85,30 @@ def classic_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray):
 _EDGE_STEP_SET = (2, 4, 6)
 
 
+def _roll_mask(stack5: jnp.ndarray, pdy, pdx, xg, yg):
+    """Shift the (5, H, W) [cost, plane x4] stack by a traced offset: a
+    dynamic roll + out-of-bounds mask. One scan body replaces the unrolled
+    per-offset static shifts (compile-time killer: ~1.6k bodies)."""
+    H, W = stack5.shape[1:]
+    rolled = jnp.roll(stack5, (-pdy, -pdx), axis=(1, 2))
+    inb = (xg + pdx >= 0) & (xg + pdx < W) & (yg + pdy >= 0) & (yg + pdy < H)
+    return rolled, inb
+
+
 def edge_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray,
                           edge: jnp.ndarray, edge_steps: jnp.ndarray, it):
     """Edge-bounded directional sampling (DPE.cu:1242-1292) with the
-    per-pixel step length quantized to ``_EDGE_STEP_SET`` so every probe is
-    a static shift. Carries winning planes like the classic mode."""
+    per-pixel step length quantized to ``_EDGE_STEP_SET``. Probes run as a
+    ``lax.scan`` over the static offset table — dynamic rolls instead of
+    unrolled shifts, so the program stays small (one body per direction).
+    Carries winning planes like the classic mode."""
     H, W = cost_map.shape
     max_edge_dist = max(H, W) / 30.0
     min_step = 2
     s_mag = jnp.maximum(1, 5 - 2 * jnp.asarray(it, jnp.int32))
+    xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
+    yg = jnp.arange(H, dtype=jnp.int32)[:, None].repeat(W, 1)
+    stack5 = jnp.concatenate([cost_map[None], jnp.moveaxis(plane, -1, 0)])
 
     flags, cands = [], []
     for d in range(8):
@@ -112,29 +127,38 @@ def edge_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray,
             else:
                 fy = dy_u
 
-        best_c = jnp.full((H, W), BIG)
-        best_p = plane
-        # For each quantized step length, the probes are static shifts; the
-        # per-pixel mask picks the pixel's own quantization bucket.
-        for sl in _EDGE_STEP_SET:
-            in_bucket = (jnp.clip(jnp.round(step_len_f), min_step,
-                                  _EDGE_STEP_SET[-1]).astype(jnp.int32)
-                         >= sl - 1) & \
-                (jnp.clip(jnp.round(step_len_f), min_step,
-                          _EDGE_STEP_SET[-1]).astype(jnp.int32) <= sl)
-            for smag_v in (1, 3, 5):   # s_mag realizations over iterations
-                smag_ok = s_mag == smag_v
+        slq = jnp.clip(jnp.round(step_len_f), min_step,
+                       _EDGE_STEP_SET[-1]).astype(jnp.int32)
+        bucket_masks = jnp.stack(
+            [(slq >= sl - 1) & (slq <= sl) for sl in _EDGE_STEP_SET])
+
+        # Offset table: (bucket, s_mag realization, step).
+        tab = []
+        for bi, sl in enumerate(_EDGE_STEP_SET):
+            for smag_v in (1, 3, 5):
                 for t in range(22):
-                    pdx = smag_v * dx_u + t * sl * dx_u + fx
-                    pdy = smag_v * dy_u + t * sl * dy_u + fy
-                    ok = in_bucket & smag_ok & (t < step_num)
-                    c = jnp.where(ok, sampling.shift(cost_map, pdy, pdx), BIG)
-                    better = c < best_c
-                    best_c = jnp.where(better, c, best_c)
-                    p_s = jnp.stack(
-                        [sampling.shift(plane[..., i], pdy, pdx)
-                         for i in range(4)], axis=-1)
-                    best_p = jnp.where(better[..., None], p_s, best_p)
+                    tab.append((smag_v * dx_u + t * sl * dx_u + fx,
+                                smag_v * dy_u + t * sl * dy_u + fy,
+                                bi, smag_v, t))
+        tab = jnp.asarray(np.asarray(tab, np.int32))
+
+        def body(carry, row):
+            best_c, best_p = carry
+            pdx, pdy, bi, smag_v, t = (row[k] for k in range(5))
+            rolled, inb = _roll_mask(stack5, pdy, pdx, xg, yg)
+            in_bucket = jnp.where(bi == 0, bucket_masks[0],
+                                  jnp.where(bi == 1, bucket_masks[1],
+                                            bucket_masks[2]))
+            ok = in_bucket & (s_mag == smag_v) & (t < step_num) & inb
+            c = jnp.where(ok, rolled[0], BIG)
+            better = c < best_c
+            best_c = jnp.where(better, c, best_c)
+            best_p = jnp.where(better[..., None],
+                               jnp.moveaxis(rolled[1:], 0, -1), best_p)
+            return (best_c, best_p), None
+
+        (best_c, best_p), _ = jax.lax.scan(
+            body, (jnp.full((H, W), BIG), plane), tab)
         flags.append(best_c < BIG)
         cands.append(best_p)
     return jnp.stack(flags), jnp.stack(cands)
@@ -142,10 +166,14 @@ def edge_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray,
 
 def second_pass_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray,
                                  it):
-    """Short-range non-local pass (DPE.cu:1293-1343): 11 probes at step 2 —
-    already static given the s_mag realization."""
+    """Short-range non-local pass (DPE.cu:1293-1343): 11 probes at step 2,
+    scanned like :func:`edge_candidate_planes`."""
     H, W = cost_map.shape
     s_mag = jnp.maximum(1, 5 - 2 * jnp.asarray(it, jnp.int32))
+    xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
+    yg = jnp.arange(H, dtype=jnp.int32)[:, None].repeat(W, 1)
+    stack5 = jnp.concatenate([cost_map[None], jnp.moveaxis(plane, -1, 0)])
+
     flags, cands = [], []
     for d in range(8):
         dx_u, dy_u = pm._EDGE_DIRS[d]
@@ -155,24 +183,27 @@ def second_pass_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray,
                 fx = dx_u
             else:
                 fy = dy_u
-        best_c = jnp.full((H, W), BIG)
-        best_p = plane
-        xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
-        yg = jnp.arange(H, dtype=jnp.int32)[:, None].repeat(W, 1)
+        tab = []
         for smag_v in (1, 3, 5):
-            smag_ok = s_mag == smag_v
             for t in range(11):
-                pdx = smag_v * dx_u + t * 2 * dx_u + fx
-                pdy = smag_v * dy_u + t * 2 * dy_u + fy
-                tx = xg + pdx
-                ty = yg + pdy
-                ok = smag_ok & (tx >= 0) & (ty >= 0) & (tx < W) & (ty < H)
-                c = jnp.where(ok, sampling.shift(cost_map, pdy, pdx), BIG)
-                better = c < best_c
-                best_c = jnp.where(better, c, best_c)
-                p_s = jnp.stack([sampling.shift(plane[..., i], pdy, pdx)
-                                 for i in range(4)], axis=-1)
-                best_p = jnp.where(better[..., None], p_s, best_p)
+                tab.append((smag_v * dx_u + t * 2 * dx_u + fx,
+                            smag_v * dy_u + t * 2 * dy_u + fy, smag_v))
+        tab = jnp.asarray(np.asarray(tab, np.int32))
+
+        def body(carry, row):
+            best_c, best_p = carry
+            pdx, pdy, smag_v = row[0], row[1], row[2]
+            rolled, inb = _roll_mask(stack5, pdy, pdx, xg, yg)
+            ok = (s_mag == smag_v) & inb
+            c = jnp.where(ok, rolled[0], BIG)
+            better = c < best_c
+            best_c = jnp.where(better, c, best_c)
+            best_p = jnp.where(better[..., None],
+                               jnp.moveaxis(rolled[1:], 0, -1), best_p)
+            return (best_c, best_p), None
+
+        (best_c, best_p), _ = jax.lax.scan(
+            body, (jnp.full((H, W), BIG), plane), tab)
         flags.append(best_c < BIG)
         cands.append(best_p)
     return jnp.stack(flags), jnp.stack(cands)

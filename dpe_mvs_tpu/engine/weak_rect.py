@@ -99,10 +99,9 @@ def _rect_plane_coeffs(rv, plane: jnp.ndarray, statics, i: int,
     """Warp the (H, W, 4) ref-cam plane field into rv's rect frame and
     return its affine disparity coefficient fields (gx, gy, g0), (Hp, Wp)."""
     pr = rectcost.plane_to_rect(plane, rv.R2r)
-    prw = warp_ops.warp_channels(
-        jnp.moveaxis(pr, -1, 0), rv.f_vy, rv.f_hx,
-        transposed_input=statics.f_transposed[i], nearest=True,
-        interpret=interpret)
+    prw = rectcost.warp_fwd_channels(rv, statics, i,
+                                     jnp.moveaxis(pr, -1, 0),
+                                     interpret=interpret)
     prw = jnp.moveaxis(prw, 0, -1)
     return rectify.disparity_coeffs(prw[..., :3], prw[..., 3], rv.f, rv.b)
 
@@ -110,19 +109,20 @@ def _rect_plane_coeffs(rv, plane: jnp.ndarray, statics, i: int,
 S_CHUNK = 8        # probes per row-gather launch (bounds transient memory)
 
 
-def _sweep_ncc_volume(rv, gxs, gys, g0s, offsets: np.ndarray,
+def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
                       sigma_spatial: float, sigma_color: float,
                       with_geom: bool, interpret=None):
     """(S, Hp, Wp) window-NCC cost of S plane-coefficient fields against
     rv, sharing the probe-independent ref-side sums across all S and
     batching the source gathers (S_CHUNK probes x row offsets per launch).
 
-    gxs/gys/g0s: (S, Hp, Wp) affine disparity coefficient fields (or
-    broadcastable). Returns (vol, gvol | None, valid) with vol already
-    VOL_INVALID-marked; geom is the forward-backward error
+    ``coeff_fn(c0, sc) -> (gxs, gys, g0s)`` produces the (sc, Hp, Wp)
+    affine disparity coefficient fields of probes [c0, c0+sc) — computed
+    per chunk so no (S, Hp, Wp) coefficient tensors are ever live (full-res
+    images OOM'd the eager form). Returns (vol, gvol | None, valid) with
+    vol VOL_INVALID-marked; geom is the forward-backward error
     (``ComputeGeomConsistencyCost``, DPE.cu:915-953)."""
     Hp, Wp = rv.ref_rect.shape
-    S = gxs.shape[0]
     u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
     v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
 
@@ -135,14 +135,10 @@ def _sweep_ncc_volume(rv, gxs, gys, g0s, offsets: np.ndarray,
     sum_w = jnp.zeros((Hp, Wp), jnp.float32)
     sum_ref = jnp.zeros((Hp, Wp), jnp.float32)
     sum_ref2 = jnp.zeros((Hp, Wp), jnp.float32)
-    sum_src = jnp.zeros((S, Hp, Wp), jnp.float32)
-    sum_src2 = jnp.zeros((S, Hp, Wp), jnp.float32)
-    sum_rs = jnp.zeros((S, Hp, Wp), jnp.float32)
-
+    refs_by_oy, ws_by_oy, src_by_oy = {}, {}, {}
     for oy in oys:
         oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
-        src_row = rectcost._shift2(rv.src_rect, int(oy), 0)
-        k = len(oxs)
+        src_by_oy[oy] = rectcost._shift2(rv.src_rect, int(oy), 0)
         refs, ws = [], []
         for ox in oxs:
             ref_s = rectcost._shift2(rv.ref_rect, int(oy), int(ox))
@@ -150,73 +146,91 @@ def _sweep_ncc_volume(rv, gxs, gys, g0s, offsets: np.ndarray,
             spatial = float(np.sqrt(ox * ox + oy * oy))
             ws.append(jnp.exp(-spatial * inv_2ss
                               - jnp.abs(ref_s - ref_c) * inv_2sc))
+        refs_by_oy[oy], ws_by_oy[oy] = refs, ws
         for w, r in zip(ws, refs):
             sum_w = sum_w + w
             sum_ref = sum_ref + w * r
             sum_ref2 = sum_ref2 + w * r * r
 
-        for c0 in range(0, S, S_CHUNK):
-            sc = min(S_CHUNK, S - c0)
-            # xs for (offset j, probe s): (Hp, k, sc, Wp) -> one launch.
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    var_ref = sum_ref2 * inv_w - m_ref * m_ref
+
+    # Chunk-major: per probe chunk, plain accumulators (no big dynamic
+    # slice updates — XLA copies the whole (S, Hp, Wp) buffer per
+    # .at[].add), finalized per chunk and concatenated.
+    vol_chunks, gvol_chunks, valid_chunks = [], [], []
+    for c0 in range(0, S, S_CHUNK):
+        sc = min(S_CHUNK, S - c0)
+        gxs, gys, g0s = coeff_fn(c0, sc)
+        sum_src = jnp.zeros((sc, Hp, Wp), jnp.float32)
+        sum_src2 = jnp.zeros((sc, Hp, Wp), jnp.float32)
+        sum_rs = jnp.zeros((sc, Hp, Wp), jnp.float32)
+        for oy in oys:
+            oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+            k = len(oxs)
+            # xs for (offset j, probe s): one launch per (oy, chunk).
             xs_parts = []
             for ox in oxs:
                 us = u + ox
                 vs = v + oy
-                xs = us[None] + gxs[c0:c0 + sc] * (us[None] - rv.cx) + \
-                    gys[c0:c0 + sc] * (vs[None] - rv.cy) + g0s[c0:c0 + sc]
+                xs = us[None] + gxs * (us[None] - rv.cx) + \
+                    gys * (vs[None] - rv.cy) + g0s
                 xs_parts.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
             xs_cat = jnp.stack(xs_parts, axis=1)             # (sc, k, Hp, Wp)
             xs_cat = jnp.moveaxis(xs_cat, 2, 0)              # (Hp, sc, k, Wp)
             xs_flat = xs_cat.reshape(Hp, sc * k * Wp)
-            src = rowgather.bilinear_x(src_row, xs_flat, interpret=interpret)
+            src = rowgather.bilinear_x(src_by_oy[oy], xs_flat,
+                                       interpret=interpret)
             src = src.reshape(Hp, sc, k, Wp)
             src = jnp.moveaxis(src, 1, 0)                    # (sc, Hp, k, Wp)
             for j in range(k):
-                w = ws[j]
-                r = refs[j]
+                w = ws_by_oy[oy][j]
+                r = refs_by_oy[oy][j]
                 s_j = src[:, :, j]                           # (sc, Hp, Wp)
-                sum_src = sum_src.at[c0:c0 + sc].add(w[None] * s_j)
-                sum_src2 = sum_src2.at[c0:c0 + sc].add(w[None] * s_j * s_j)
-                sum_rs = sum_rs.at[c0:c0 + sc].add((w * r)[None] * s_j)
+                sum_src = sum_src + w[None] * s_j
+                sum_src2 = sum_src2 + w[None] * s_j * s_j
+                sum_rs = sum_rs + (w * r)[None] * s_j
 
-    inv_w = 1.0 / sum_w
-    m_ref = sum_ref * inv_w
-    var_ref = sum_ref2 * inv_w - m_ref * m_ref
-    m_src = sum_src * inv_w[None]
-    var_src = sum_src2 * inv_w[None] - m_src * m_src
-    covar = sum_rs * inv_w[None] - m_ref[None] * m_src
-    den = jnp.sqrt(jnp.maximum(var_ref[None] * var_src,
-                               rectcost.K_MIN_VAR ** 2))
-    cost = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
-    cost = jnp.where((var_ref[None] < rectcost.K_MIN_VAR) |
-                     (var_src < rectcost.K_MIN_VAR), COST_MAX, cost)
+        m_src = sum_src * inv_w[None]
+        var_src = sum_src2 * inv_w[None] - m_src * m_src
+        covar = sum_rs * inv_w[None] - m_ref[None] * m_src
+        den = jnp.sqrt(jnp.maximum(var_ref[None] * var_src,
+                                   rectcost.K_MIN_VAR ** 2))
+        cost_c = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
+        cost_c = jnp.where(
+            (var_ref[None] < rectcost.K_MIN_VAR) |
+            (var_src < rectcost.K_MIN_VAR), COST_MAX, cost_c)
 
-    # Center validity per probe (DPE.cu:577-580 + rect content masks +
-    # cheirality: positive disparity <=> depth in front).
-    d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
-    d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
-    xs_c = u[None] + d_c                                     # (S, Hp, Wp)
-    xs_c_flat = jnp.moveaxis(xs_c, 0, 1).reshape(Hp, S * Wp)
-    ok_flat = rowgather.row_gather(
-        rv.src_ok, jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
-        interpret=interpret)
-    src_ok_c = jnp.moveaxis(ok_flat.reshape(Hp, S, Wp), 1, 0)
-    valid = (rv.ref_ok[None] > 0.5) & (src_ok_c > 0.5) & \
-        (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c > 0) & (d_c < BIG)
-    vol = jnp.where(valid, cost, VOL_INVALID)
-
-    gvol = None
-    if with_geom:
-        z_flat = rowgather.row_gather(
-            rv.src_depth_rect,
-            jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
+        # Center validity per probe (DPE.cu:577-580 + rect content masks +
+        # cheirality: positive disparity <=> depth in front).
+        d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
+        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
+        xs_c = u[None] + d_c                                 # (sc, Hp, Wp)
+        xs_c_flat = jnp.moveaxis(xs_c, 0, 1).reshape(Hp, sc * Wp)
+        ok_flat = rowgather.row_gather(
+            rv.src_ok, jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
             interpret=interpret)
-        z_src = jnp.moveaxis(z_flat.reshape(Hp, S, Wp), 1, 0)
-        x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
-        err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
-        err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
-        gvol = jnp.where(valid, err, VOL_INVALID)
+        src_ok_c = jnp.moveaxis(ok_flat.reshape(Hp, sc, Wp), 1, 0)
+        valid = (rv.ref_ok[None] > 0.5) & (src_ok_c > 0.5) & \
+            (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c > 0) & (d_c < BIG)
+        vol_chunks.append(jnp.where(valid, cost_c, VOL_INVALID))
+        valid_chunks.append(valid)
 
+        if with_geom:
+            z_flat = rowgather.row_gather(
+                rv.src_depth_rect,
+                jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
+                interpret=interpret)
+            z_src = jnp.moveaxis(z_flat.reshape(Hp, sc, Wp), 1, 0)
+            x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
+            err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
+            err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
+            gvol_chunks.append(jnp.where(valid, err, VOL_INVALID))
+
+    vol = jnp.concatenate(vol_chunks, axis=0)
+    valid = jnp.concatenate(valid_chunks, axis=0)
+    gvol = jnp.concatenate(gvol_chunks, axis=0) if with_geom else None
     return vol, gvol, valid
 
 
@@ -233,18 +247,42 @@ def _probe_volume_one(rv, gx, gy, g0, offsets: np.ndarray,
     d0 = jnp.where(jnp.isfinite(d0), d0, BIG)
 
     ds = jnp.asarray(probe_offsets())[:, None, None]
-    gxs = jnp.broadcast_to(gx[None], (PROBE_S, Hp, Wp))
-    gys = jnp.broadcast_to(gy[None], (PROBE_S, Hp, Wp))
-    g0s = g0[None] + ds
+
+    def coeff_fn(c0, sc):
+        return (jnp.broadcast_to(gx[None], (sc, Hp, Wp)),
+                jnp.broadcast_to(gy[None], (sc, Hp, Wp)),
+                g0[None] + ds[c0:c0 + sc])
+
     ok0 = jnp.abs(d0) < BIG
     vol, gvol, _valid = _sweep_ncc_volume(
-        rv, gxs, gys, g0s, offsets, sigma_spatial, sigma_color, with_geom,
-        interpret=interpret)
+        rv, coeff_fn, PROBE_S, offsets, sigma_spatial, sigma_color,
+        with_geom, interpret=interpret)
     vol = jnp.where(ok0[None], vol, VOL_INVALID)
     if gvol is not None:
         gvol = jnp.where(ok0[None], gvol, VOL_INVALID)
     d0 = jnp.where((rv.ref_ok > 0.5) & ok0, d0, BIG)
     return vol, gvol, d0
+
+
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate/det) — avoids the LU custom call
+    ``jnp.linalg.inv`` lowers to."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hc = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv = jnp.stack([jnp.stack([A, B, C]), jnp.stack([D, E, F]),
+                     jnp.stack([G, Hc, I])])
+    return inv / det
 
 
 def rect_disparity_sweep(data: SweepData, state: PMState,
@@ -283,11 +321,11 @@ def rect_disparity_sweep(data: SweepData, state: PMState,
         Hp, Wp = rv.ref_rect.shape
         u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
         v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
-        ch = warp_ops.warp_channels(
+        ch = rectcost.warp_fwd_channels(
+            rv, statics, i,
             jnp.stack([n_cam[..., 0], n_cam[..., 1], n_cam[..., 2],
                        origin_depth, bl]),
-            rv.f_vy, rv.f_hx, transposed_input=statics.f_transposed[i],
-            nearest=True, interpret=interpret)
+            interpret=interpret)
         ncx, ncy, ncz, od_r, bl_r = (ch[k] for k in range(5))
         # Rect-frame normal (plane distances are frame-invariant).
         R = rv.R2r
@@ -298,31 +336,31 @@ def rect_disparity_sweep(data: SweepData, state: PMState,
         # pixel ray (GetDistance2Origin, DPE.cu:337-342) — original coords
         # via the inverse rect homography, elementwise.
         disp0_r = f * bl_r / jnp.where(od_r > 0, od_r, 1e30)
-        pdep = f * bl_r[None] / (disp0_r[None] + dispsj)     # (S, Hp, Wp)
-        Hi = jnp.linalg.inv(rv.H_ref)
+        Hi = _inv3(rv.H_ref)
         wdiv = Hi[2, 0] * u + Hi[2, 1] * v + Hi[2, 2]
         wdiv = jnp.where(jnp.abs(wdiv) < 1e-20, 1e-20, wdiv)
         pox = (Hi[0, 0] * u + Hi[0, 1] * v + Hi[0, 2]) / wdiv
         poy = (Hi[1, 0] * u + Hi[1, 1] * v + Hi[1, 2]) / wdiv
         ndotp = ncx * (pox - cam.cx) / cam.fx + \
             ncy * (poy - cam.cy) / cam.fy + ncz
-        w_s = -pdep * ndotp[None]                            # plane dist
-        safe = jnp.where(jnp.abs(w_s) < 1e-30, 1e-30, w_s)
-        gxs = rv.b * nrx[None] / safe
-        gys = rv.b * nry[None] / safe
-        g0s = rv.b * rv.f * nrz[None] / safe
+
+        def coeff_fn(c0, sc):
+            # Probe depths -> plane distances -> rect coeffs, per chunk.
+            pdep = f * bl_r[None] / (disp0_r[None] + dispsj[c0:c0 + sc])
+            w_s = -pdep * ndotp[None]                        # plane dist
+            safe = jnp.where(jnp.abs(w_s) < 1e-30, 1e-30, w_s)
+            return (rv.b * nrx[None] / safe, rv.b * nry[None] / safe,
+                    rv.b * rv.f * nrz[None] / safe)
 
         vol, gvol, valid = _sweep_ncc_volume(
-            rv, gxs, gys, g0s, offs, params.sigma_spatial,
+            rv, coeff_fn, S, offs, params.sigma_spatial,
             params.sigma_color, with_geom=geom, interpret=interpret)
         cost_i = jnp.where(valid, vol, COST_MAX)
         if geom:
             cost_i = cost_i + params.geom_factor * jnp.where(
                 valid, gvol, GEOM_COST_MAX)
-        back = warp_ops.warp_channels(
-            cost_i, rv.b_vy, rv.b_hx,
-            transposed_input=statics.b_transposed[i], nearest=True,
-            interpret=interpret)                             # (S, H, W)
+        back = rectcost.warp_bwd_channels(rv, statics, i, cost_i,
+                                          interpret=interpret)  # (S, H, W)
         cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
                            else 0.0)
         back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],
@@ -370,10 +408,8 @@ def build_weak_bundle(data: SweepData, sup, state: PMState,
             rv, gx, gy, g0, offs_strong, params.sigma_spatial,
             params.sigma_color, with_geom=geom, interpret=interpret)
         def back(chans):
-            return warp_ops.warp_channels(
-                chans, rv.b_vy, rv.b_hx,
-                transposed_input=statics.b_transposed[i], nearest=True,
-                interpret=interpret)
+            return rectcost.warp_bwd_channels(rv, statics, i, chans,
+                                              interpret=interpret)
 
         ok_o = rv.orig_ok > 0.5
         vc_o = jnp.where(ok_o[None], back(vc), VOL_INVALID)
@@ -391,12 +427,17 @@ def build_weak_bundle(data: SweepData, sup, state: PMState,
         axr, ayr = _anchor_rect_coords(rv, ax, ay)
         qy = jnp.round(ayr).astype(jnp.int32).reshape(8 * H, W)
         qx = jnp.round(axr).astype(jnp.int32).reshape(8 * H, W)
-        chans = jnp.concatenate([vw, d0r[None]], axis=0)     # (S+1, Hp, Wp)
+        # Profiles ride the gather as packed bf16 pairs (the banded gather
+        # is per-element-rate-bound, so this halves its cost).
+        from ..ops import gather2d as g2d_mod
+        chans = jnp.concatenate([g2d_mod.pack_bf16_pairs(vw), d0r[None]],
+                                axis=0)                      # (S/2+1, Hp, Wp)
         g2 = sampling.gather_map(
-            jnp.moveaxis(chans, 0, -1), qy, qx)              # (8H, W, S+1)
-        g2 = jnp.moveaxis(g2, -1, 0).reshape(PROBE_S + 1, 8, H, W)
-        aps.append(g2[:PROBE_S].astype(jnp.bfloat16))
-        a_d0s.append(g2[PROBE_S])
+            jnp.moveaxis(chans, 0, -1), qy, qx)              # (8H, W, S/2+1)
+        g2 = jnp.moveaxis(g2, -1, 0)
+        prof = g2d_mod.unpack_bf16_pairs(g2[:PROBE_S // 2])
+        aps.append(prof.reshape(PROBE_S, 8, H, W))
+        a_d0s.append(g2[PROBE_S // 2].reshape(8, H, W))
 
     return WeakRectBundle(
         vol_center=jnp.stack(vols_c),

@@ -243,6 +243,53 @@ def build_warp_fields(H: np.ndarray, in_w: int, in_h: int,
 # Plane algebra in the rectified frame (consumed by the device engine)
 # ---------------------------------------------------------------------------
 
+class StackedWarpFields(NamedTuple):
+    """Shape-uniform variant of :class:`WarpFields` for cross-problem
+    stacking (parallel executor): the input is square-padded to (d, d) and
+    the transpose decision is a *runtime* 0-d flag instead of a static —
+    every array's shape depends only on (d, out_w, out_h), which is common
+    across same-sized problems, so the fields stack under one jit."""
+
+    vpass_y: np.ndarray    # (out_h, d) float32
+    hpass_x: np.ndarray    # (out_h, out_w) float32
+    valid: np.ndarray      # (out_h, out_w) bool
+    transposed: np.ndarray  # () float32, 1.0 = feed the transposed input
+
+
+def build_warp_fields_stacked(H: np.ndarray, in_w: int, in_h: int,
+                              out_w: int, out_h: int,
+                              d: int) -> StackedWarpFields:
+    """:func:`build_warp_fields` against a (d, d) square-padded input,
+    d >= max(in_w, in_h); validity still reflects the true content box."""
+    H = np.asarray(H, np.float64)
+    assert d >= max(in_w, in_h)
+    tr = _needs_transpose(H)
+    Hs = H @ _SWAP if tr else H
+    iw, ih = (in_h, in_w) if tr else (in_w, in_h)
+
+    x, y, sign_ok = _inverse_map(Hs, out_w, out_h)
+    valid = sign_ok & (x >= 0) & (x <= iw - 1) & (y >= 0) & (y <= ih - 1)
+
+    Minv = np.linalg.inv(Hs)
+    v = np.arange(out_h, dtype=np.float64)[:, None]
+    xc = np.arange(d, dtype=np.float64)[None, :]
+    denom = Minv[0, 0] - Minv[2, 0] * xc
+    denom = np.where(np.abs(denom) < 1e-9, np.sign(denom + 1e-30) * 1e-9,
+                     denom)
+    u_of = ((Minv[2, 1] * v + Minv[2, 2]) * xc
+            - (Minv[0, 1] * v + Minv[0, 2])) / denom
+    w2 = Minv[2, 0] * u_of + Minv[2, 1] * v + Minv[2, 2]
+    w2 = np.where(np.abs(w2) < 1e-12, 1e-12, w2)
+    vpass_y = (Minv[1, 0] * u_of + Minv[1, 1] * v + Minv[1, 2]) / w2
+
+    return StackedWarpFields(
+        vpass_y=np.clip(vpass_y, 0.0, ih - 1).astype(np.float32),
+        hpass_x=np.clip(x, 0.0, iw - 1).astype(np.float32),
+        valid=valid,
+        transposed=np.float32(1.0 if tr else 0.0),
+    )
+
+
 def plane_to_rect_np(R2r: np.ndarray, plane: np.ndarray) -> np.ndarray:
     """Rotate plane hypotheses (..., 4) from ref-cam to rect frame.
 

@@ -38,10 +38,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-QROWS = 8          # query tile rows
+QROWS = 16         # query tile rows
 BR = 64            # DMA window rows (multiple of 8)
 BC = 512           # DMA window cols (multiple of 128)
 CCHUNK = 8         # channels per grid step
+
+
+def pack_bf16_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """(C, ...) float -> (C//2, ...) f32, each word holding two bf16
+    channels (2k, 2k+1). Halves the element count through the gather —
+    its rate is per-element, not per-byte."""
+    assert x.shape[0] % 2 == 0
+    xb = x.astype(jnp.bfloat16)
+    pairs = jnp.stack([xb[0::2], xb[1::2]], axis=-1)
+    u16 = jax.lax.bitcast_convert_type(pairs, jnp.uint16)
+    u32 = jax.lax.bitcast_convert_type(u16, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u32, jnp.float32)
+
+
+def unpack_bf16_pairs(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_bf16_pairs`: (C2, ...) f32 -> (2*C2, ...)
+    bf16."""
+    u32 = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    u16 = jax.lax.bitcast_convert_type(u32, jnp.uint16)      # (..., 2)
+    b = jax.lax.bitcast_convert_type(u16, jnp.bfloat16)
+    C2 = p.shape[0]
+    out = jnp.stack([b[..., 0], b[..., 1]], axis=1)          # (C2, 2, ...)
+    return out.reshape((2 * C2,) + p.shape[1:])
 
 
 def _auto_interpret(interpret) -> bool:
@@ -60,14 +83,15 @@ def _pad_to(x: jnp.ndarray, mults, mode="edge"):
     return x
 
 
-def _gather2d_vmem_kernel(iy_ref, ix_ref, img_ref, out_ref):
-    """One (QROWS, LANES) query tile against one VMEM-resident image
-    channel. The channel block's index map is constant over the query grid
-    axes, so Pallas keeps it loaded across all query tiles of a channel —
-    no per-tile DMA at all. The banded walk visits every 8-row x 128-col
-    block of the tile's bounding box *unconditionally*: per-block occupancy
-    tests would be scalar reductions of vector data, which stall the TPU's
-    scalar unit far longer than the spared vector work."""
+def _gather2d_vmem_kernel(iy_ref, ix_ref, img_ref, out_ref, *, cc: int):
+    """One (QROWS, LANES) query tile against ``cc`` VMEM-resident image
+    channels. The channel block's index map is constant over the query grid
+    axes, so Pallas keeps it loaded across all query tiles of a chunk — no
+    per-tile DMA. The banded walk visits every 8-row x 128-col block of the
+    tile's bounding box *unconditionally* (per-block occupancy tests would
+    be scalar reductions of vector data — scalar-unit stalls cost more than
+    the spared vector work), and all ``cc`` channels share the per-block
+    masks and addressing."""
     iy = iy_ref[:]
     ix = ix_ref[:]
     rlo8 = (jnp.min(iy) // 8) * 8
@@ -77,23 +101,27 @@ def _gather2d_vmem_kernel(iy_ref, ix_ref, img_ref, out_ref):
     ml = ix % LANES
     mq = ix // LANES
 
-    def body(t, acc):
+    def body(t, accs):
         rbi = t // qnum
         qi = t - rbi * qnum
         r0 = pl.multiple_of(rlo8 + rbi * 8, 8)
         c0 = pl.multiple_of((qlo + qi) * LANES, LANES)
         mr = iy - r0
         hit_q = (mq == qlo + qi) & (mr >= 0) & (mr < 8)
-        blk = img_ref[0, pl.ds(r0, 8), pl.ds(c0, LANES)]
+        blk = img_ref[:, pl.ds(r0, 8), pl.ds(c0, LANES)]    # (cc, 8, 128)
+        accs = list(accs)
         for r8 in range(8):
             sel = hit_q & (mr == r8)
-            rowb = jnp.broadcast_to(blk[r8][None, :], (QROWS, LANES))
-            g = jnp.take_along_axis(rowb, ml, axis=1)
-            acc = jnp.where(sel, g, acc)
-        return acc
+            for c in range(cc):
+                rowb = jnp.broadcast_to(blk[c, r8][None, :], (QROWS, LANES))
+                g = jnp.take_along_axis(rowb, ml, axis=1)
+                accs[c] = jnp.where(sel, g, accs[c])
+        return tuple(accs)
 
-    acc = jnp.zeros((QROWS, LANES), out_ref.dtype)
-    out_ref[0] = jax.lax.fori_loop(0, nrb * qnum, body, acc)
+    zero = jnp.zeros((QROWS, LANES), out_ref.dtype)
+    accs = jax.lax.fori_loop(0, nrb * qnum, body, (zero,) * cc)
+    for c in range(cc):
+        out_ref[c] = accs[c]
 
 
 def _gather2d_kernel(iy_ref, ix_ref, img_ref, out_ref, scratch, sem,
@@ -197,26 +225,27 @@ def gather2d(imgs: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     ixp = _pad_to(ix, (QROWS, LANES), mode="edge")
     Qhp, Qwp = iyp.shape
 
-    # Fast path: one image channel fits comfortably in VMEM -> keep it
-    # resident across the whole query grid (the channel axis is the
+    # Fast path: a chunk of channels fits comfortably in VMEM -> keep it
+    # resident across the whole query grid (the chunk axis is the
     # outermost, slowest-varying grid dimension, so Pallas re-fetches the
-    # block only when the channel changes).
+    # block only when the chunk changes).
     ch_bytes = (-(-H // 8) * 8) * (-(-W // LANES) * LANES) * imgs.dtype.itemsize
     if ch_bytes <= 6 * 1024 * 1024:
-        imgp = _pad_to(imgs, (1, 8, LANES))
+        cc = max(1, min(C, int(6 * 1024 * 1024 // ch_bytes), 8))
+        imgp = _pad_to(imgs, (cc, 8, LANES))
         Cp, Hp, Wp = imgp.shape
         out = pl.pallas_call(
-            _gather2d_vmem_kernel,
-            grid=(Cp, Qhp // QROWS, Qwp // LANES),
+            functools.partial(_gather2d_vmem_kernel, cc=cc),
+            grid=(Cp // cc, Qhp // QROWS, Qwp // LANES),
             in_specs=[
                 pl.BlockSpec((QROWS, LANES), lambda k, i, j: (i, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((QROWS, LANES), lambda k, i, j: (i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hp, Wp), lambda k, i, j: (k, 0, 0),
+                pl.BlockSpec((cc, Hp, Wp), lambda k, i, j: (k, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, QROWS, LANES),
+            out_specs=pl.BlockSpec((cc, QROWS, LANES),
                                    lambda k, i, j: (k, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Cp, Qhp, Qwp), imgs.dtype),

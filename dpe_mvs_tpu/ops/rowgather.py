@@ -90,6 +90,11 @@ def row_gather(img: jnp.ndarray, ix: jnp.ndarray, *, bh: int = 256,
     assert img.shape[0] == H, (img.shape, ix.shape)
     W = img.shape[1]
     ix = jnp.clip(ix, 0, W - 1)
+    if interpret is None and jax.default_backend() != "tpu":
+        # CPU/GPU: XLA's per-row gather is vectorized there; the banded
+        # kernel exists because XLA *TPU* serializes it. Interpret mode
+        # (kernel-logic tests) is reachable via interpret=True.
+        return jnp.take_along_axis(img, ix, axis=1)
     bh = min(bh, -(-H // 8) * 8)
     imgp = _pad_rows_cols(img, bh)
     ixp = _pad_rows_cols(ix, bh)
@@ -153,6 +158,17 @@ def bilinear_x(img: jnp.ndarray, x: jnp.ndarray, *, bh: int = 256,
     H, L = x.shape
     assert img.shape[0] == H, (img.shape, x.shape)
     W = img.shape[1]
+    if interpret is None and jax.default_backend() != "tpu":
+        # CPU/GPU fast path (see row_gather); bit-identical math to the
+        # kernel: clamp, floor to W-2, lerp.
+        xc = jnp.clip(x, 0.0, W - 1.0)
+        x0 = (jnp.clip(jnp.floor(xc), 0.0, W - 2.0) if W > 1
+              else jnp.zeros_like(xc))
+        f = xc - x0
+        ix0 = x0.astype(jnp.int32)
+        g0 = jnp.take_along_axis(img, ix0, axis=1)
+        g1 = jnp.take_along_axis(img, jnp.minimum(ix0 + 1, W - 1), axis=1)
+        return g0 * (1.0 - f) + g1 * f
     bh = min(bh, -(-H // 8) * 8)
     imgp = _pad_rows_cols(img, bh)
     xp = _pad_rows_cols(x, bh)

@@ -65,6 +65,74 @@ def warp_separable(
     return rowgather.bilinear_x(tmp, hpass_x, interpret=interpret)
 
 
+def _square_pad(img: jnp.ndarray, d: int) -> jnp.ndarray:
+    h, w = img.shape[-2:]
+    pad = [(0, 0)] * (img.ndim - 2) + [(0, d - h), (0, d - w)]
+    if d != h or d != w:
+        img = jnp.pad(img, pad, mode="edge")
+    return img
+
+
+def warp_separable_dyn(
+    img: jnp.ndarray,          # (H_in, W_in)
+    vpass_y: jnp.ndarray,      # (H_out, d)
+    hpass_x: jnp.ndarray,      # (H_out, W_out)
+    transposed: jnp.ndarray,   # () f32 runtime flag (rectify stacked fields)
+    *,
+    nearest: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """:func:`warp_separable` with the transpose decision as a runtime
+    value: the input is square-padded to (d, d) so both layouts share one
+    shape and problems with different warp orientations stack under one jit
+    (parallel executor)."""
+    d = vpass_y.shape[1]
+    imgp = _square_pad(img, d)
+    src = jnp.where(transposed > 0.5, imgp.T, imgp)
+    if nearest:
+        tmp = _column_gather_nearest(src, vpass_y, interpret=interpret)
+        ix = jnp.round(hpass_x).astype(jnp.int32)
+        return rowgather.row_gather(tmp, ix, interpret=interpret)
+    tmp = _column_gather_bilinear(src, vpass_y, interpret=interpret)
+    return rowgather.bilinear_x(tmp, hpass_x, interpret=interpret)
+
+
+def warp_channels_dyn(
+    img: jnp.ndarray,          # (C, H_in, W_in)
+    vpass_y: jnp.ndarray,      # (H_out, d)
+    hpass_x: jnp.ndarray,      # (H_out, W_out)
+    transposed: jnp.ndarray,   # () f32 runtime flag
+    *,
+    nearest: bool = True,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-batched :func:`warp_separable_dyn` (one kernel launch pair)."""
+    C = img.shape[0]
+    d = vpass_y.shape[1]
+    h_out, w_out = hpass_x.shape
+    imgp = _square_pad(img, d)
+    src = jnp.where(transposed > 0.5, jnp.swapaxes(imgp, 1, 2), imgp)
+
+    imgT = jnp.swapaxes(src, 1, 2).reshape(C * d, d)         # rows: (c, col)
+    vyT = jnp.broadcast_to(vpass_y.T[None], (C, d, h_out)).reshape(
+        C * d, h_out)
+    if nearest:
+        tmpT = rowgather.row_gather(
+            imgT, jnp.round(vyT).astype(jnp.int32), interpret=interpret)
+    else:
+        tmpT = rowgather.bilinear_x(imgT, vyT, interpret=interpret)
+    tmp = jnp.swapaxes(tmpT.reshape(C, d, h_out), 1, 2).reshape(C * h_out, d)
+
+    hx = jnp.broadcast_to(hpass_x[None], (C, h_out, w_out)).reshape(
+        C * h_out, w_out)
+    if nearest:
+        out = rowgather.row_gather(
+            tmp, jnp.round(hx).astype(jnp.int32), interpret=interpret)
+    else:
+        out = rowgather.bilinear_x(tmp, hx, interpret=interpret)
+    return out.reshape(C, h_out, w_out)
+
+
 def warp_channels(
     img: jnp.ndarray,          # (C, H_in, W_in)
     vpass_y: jnp.ndarray,

@@ -88,14 +88,21 @@ def shard_put(mesh: Mesh, tree, axis: str = "views"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-# Compiled executables are cached per (mesh, params): jax.jit keys on
-# function identity, so rebuilding the closure every call would recompile
-# every sweep (Mesh and the frozen params dataclass are both hashable).
-@functools.lru_cache(maxsize=None)
-def _sweep_exec(mesh: Mesh, params: PatchMatchParams, axis: str):
+# Compiled executables are cached per (mesh, params, rect statics): jax.jit
+# keys on function identity, so rebuilding the closure every call would
+# recompile every sweep (Mesh, the frozen params dataclass and RectStatics
+# are all hashable).
+@functools.lru_cache(maxsize=16)
+def _sweep_exec(mesh: Mesh, params: PatchMatchParams, axis: str, rstat):
+    def one(args):
+        d, s = args
+        if rstat is not None:
+            from ..engine.stages import run_sweep_traced
+            return run_sweep_traced(d, s, params, rstat)
+        return sweep_mod.run_sweep(d, s, params)
+
     def local(d, s):
-        return jax.lax.map(
-            lambda args: sweep_mod.run_sweep(args[0], args[1], params), (d, s))
+        return jax.lax.map(one, (d, s))
 
     return jax.jit(
         jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
@@ -108,14 +115,111 @@ def sharded_sweep(
     states: PMState,           # stacked leading axis B
     params: PatchMatchParams,
     axis: str = "views",
+    rstat=None,
 ) -> PMState:
     """Run one PatchMatch sweep for B problems sharded over the mesh.
 
     Each device sweeps its local problems sequentially (lax.map), all devices
     in parallel — the TPU replacement for the reference's sequential
-    ``for problem: ProcessProblem`` loop (main.cpp:508-567).
+    ``for problem: ProcessProblem`` loop (main.cpp:508-567). With ``rstat``
+    (a stacked RectStatics) the sweep runs on the rectified engine — the
+    TPU execution path — instead of the XLA-gather engine.
     """
-    return _sweep_exec(mesh, params, axis)(datas, states)
+    return _sweep_exec(mesh, params, axis, rstat)(datas, states)
+
+
+@functools.lru_cache(maxsize=64)
+def _stage_exec(mesh: Mesh, axis: str, name: str,
+                params: PatchMatchParams, rstat, n_args: int,
+                n_rep: int):
+    """One sharded stage executable: the engine stage function mapped over
+    each device's local problems. Compiling the sweep as separate stage
+    programs (vs one giant traced program) mirrors engine/stages.py — the
+    compile time of one huge module is superlinear in its size, on the
+    remote TPU service and on XLA CPU alike. The trailing ``n_rep``
+    arguments are replicated scalars (iteration index)."""
+    from ..engine import stages as stg
+
+    def _rectify_src(d):
+        from ..engine import rectcost
+        return d._replace(rect=rectcost.rectify_src_depths(
+            d.rect, rstat, d.src_depths))
+
+    bodies = {
+        "split": lambda st_key: jax.random.split(st_key, 32),
+        "rectify_src": _rectify_src,
+        "support": lambda d, s, k: stg._support_stage(d, s, k, params),
+        "init": lambda d, s: stg._init_stage(d, s, params, rstat),
+        "weakprep": lambda d, sup, s: stg._weakprep_stage(
+            d, sup, s, params, rstat),
+        "strong": lambda d, sup, s, bk, it: stg._strong_iter(
+            d, sup, s, it, jax.random.fold_in(bk, it), params, rstat),
+        "weak": lambda d, sup, s, bundle, bk, it: stg._weak_iter(
+            d, sup, s, it, jax.random.fold_in(bk, it), params, rstat,
+            bundle),
+        "finish": lambda d, s: stg._finish_stage(d, s, params),
+        "classify": lambda d, s: stg._classify_stage(d, s, params, rstat),
+        "refine": lambda d, s: stg._refine_stage(d, s, params, rstat),
+    }
+    fn = bodies[name]
+
+    def local(*args):
+        batched = args[:n_args - n_rep]
+        rep = args[n_args - n_rep:]
+        return jax.lax.map(lambda t: fn(*t, *rep), batched)
+
+    in_specs = tuple([P(axis)] * (n_args - n_rep) + [P()] * n_rep)
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(axis), check_vma=False))
+
+
+def sharded_sweep_staged(
+    mesh: Mesh,
+    data: SweepData,
+    state: PMState,
+    params: PatchMatchParams,
+    axis: str = "views",
+    rstat=None,
+) -> PMState:
+    """One PatchMatch sweep for B sharded problems as a sequence of
+    sharded stage executables — same computation and key schedule as
+    engine/stages.run_sweep_staged, mapped over the mesh."""
+    import jax.numpy as jnp
+    from ..engine import patchmatch as pm
+
+    def stage(name, *args, n_rep=0):
+        return _stage_exec(mesh, axis, name, params, rstat,
+                           len(args), n_rep)(*args)
+
+    if rstat is not None and getattr(rstat, "stacked", False) and \
+            params.geom_consistency and data.src_depths is not None:
+        # Device-resident exchanged depths -> rect frames, on device.
+        data = stage("rectify_src", data)
+
+    keys = stage("split", state.key)                         # (B, 32, 2?)
+    sup = pm.Support(*([None] * len(pm.Support._fields)))
+    if params.use_APD or params.use_edge:
+        sup, state = stage("support", data, state, keys[:, 0])
+
+    state = stage("init", data, state)
+
+    bundle = None
+    if params.use_APD and rstat is not None:
+        bundle = stage("weakprep", data, sup, state)
+
+    base_key = keys[:, 1]
+    for it in range(params.max_iterations):
+        it_dev = jnp.int32(it)
+        state = stage("strong", data, sup, state, base_key, it_dev, n_rep=1)
+        if params.use_APD:
+            state = stage("weak", data, sup, state, bundle, base_key,
+                          it_dev, n_rep=1)
+
+    state = stage("finish", data, state)
+    state = stage("classify", data, state)
+    state = stage("refine", data, state)
+    return state._replace(key=keys[:, -1])
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,6 +235,42 @@ def _exchange_exec(mesh: Mesh, axis: str):
                       out_specs=P(axis), check_vma=False))
 
 
+@functools.lru_cache(maxsize=None)
+def _exchange_exec_pruned(mesh: Mesh, axis: str, shifts: Tuple[int, ...],
+                          n_dev: int):
+    """Ring-shift exchange: one ``ppermute`` per *device-level* shift the
+    pair graph actually uses, instead of a full all_gather. Exchanged bytes
+    scale with the pair-graph's device degree, not the problem count
+    (SURVEY §2.3 #2)."""
+    def body(d_local, idx_local, slot_local):
+        b_loc = d_local.shape[0]
+        # For each used device shift s, fetch the neighbour's local block.
+        blocks = {0: d_local}
+        for s in shifts:
+            if s == 0:
+                continue
+            # Device k must RECEIVE device (k+s)'s block: i sends to i-s.
+            perm = [(i, (i - s) % n_dev) for i in range(n_dev)]
+            blocks[s] = jax.lax.ppermute(d_local, axis, perm)
+        # idx_local: (b, V) device shift of each source (big value = pad);
+        # slot_local: (b, V) local slot on that device.
+        picked = jnp.zeros(
+            (idx_local.shape[0], idx_local.shape[1]) + d_local.shape[1:],
+            d_local.dtype)
+        for s, blk in blocks.items():
+            hit = idx_local == s                           # (b, V)
+            for j in range(b_loc):
+                sel = hit & (slot_local == j)
+                picked = jnp.where(sel[..., None, None], blk[j][None, None],
+                                   picked)
+        return picked
+
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh,
+                      in_specs=(P(axis), P(axis), P(axis)),
+                      out_specs=P(axis), check_vma=False))
+
+
 def exchange_depths(
     mesh: Mesh,
     depths: jnp.ndarray,        # (B, H, W) sanitized depth maps, sharded
@@ -138,11 +278,31 @@ def exchange_depths(
                                 # source view (from pair.txt), -1 = padding
     axis: str = "views",
 ) -> jnp.ndarray:
-    """The depth-exchange collective: all_gather every problem's depth map
-    over the mesh, then pick each problem's source-view depths.
+    """The depth-exchange collective (replaces the reference's
+    ``depths.dmb`` disk reads between sweeps, DPE.cpp:826-844). Returns
+    (B, V, H, W) source depth stacks.
 
-    Returns (B, V, H, W) source depth stacks (replaces the reference's
-    ``depths.dmb`` disk reads between sweeps, DPE.cpp:826-844)."""
+    When the pair graph touches only a few neighbouring devices (the usual
+    MVS adjacency: views sorted along the capture path), the exchange runs
+    as per-shift ``ppermute`` rounds whose traffic scales with the device
+    degree; otherwise it falls back to the all_gather."""
+    n_dev = len(mesh.devices.flat)
+    B = depths.shape[0]
+    b_loc = B // n_dev
+    idx = np.asarray(src_index)
+    own_dev = (np.arange(B) // b_loc)[:, None]             # (B, 1)
+    src_dev = np.where(idx >= 0, idx // max(b_loc, 1), 0)
+    shift = (src_dev - own_dev) % n_dev                    # device shift
+    used = sorted(set(np.unique(shift[idx >= 0]).tolist()))
+    # all_gather moves (n_dev - 1) blocks per device; the ring exchange
+    # moves len(used \ {0}) — prune only when it actually wins.
+    if len([s for s in used if s != 0]) < n_dev - 1 and b_loc > 0:
+        slot = np.where(idx >= 0, idx % max(b_loc, 1), 0)
+        big = np.int32(n_dev + 1)
+        shift_arr = jnp.asarray(np.where(idx >= 0, shift, big), jnp.int32)
+        slot_arr = jnp.asarray(slot, jnp.int32)
+        return _exchange_exec_pruned(mesh, axis, tuple(used), n_dev)(
+            depths, shift_arr, slot_arr)
     return _exchange_exec(mesh, axis)(depths, src_index)
 
 

@@ -86,6 +86,7 @@ class ParallelRunner:
         from ..parallel import mesh as mesh_mod
         self.src_index[:len(problems)] = mesh_mod.build_src_index(
             ids, [list(p.src_image_ids) for p in problems], v_pad)
+        self.rstat = None            # stacked RectStatics when rect engine on
         # Host-side global state per problem (the cross-round checkpoint).
         self.depth: Dict[int, np.ndarray] = {}
         self.normal: Dict[int, np.ndarray] = {}
@@ -105,7 +106,7 @@ class ParallelRunner:
         from ..engine import state as st_mod
         from ..parallel import mesh as mesh_mod
 
-        datas, states = [], []
+        datas, states, inputs_list = [], [], []
         for b in range(self.n_pad):
             p = self.problems[b] if self.valid[b] else self.problems[0]
             inputs = scene.load_problem_inputs(
@@ -125,14 +126,44 @@ class ParallelRunner:
                     self.weak[p.ref_image_id], W, H)
             edge, edge_low, label = seq.load_support_maps(
                 p, scale_size, max_scale, params_a, W, H)
+            inputs_list.append(inputs)
             datas.append(st_mod.build_sweep_data(
                 inputs, self.v_pad, edge, edge_low, label))
             key = jax.random.key(self.cfg.seed + p.ref_image_id * 1000)
             states.append(st_mod.init_pm_state(
                 inputs, self.v_pad, key, params_a.use_APD))
+
+        self.rstat = None
+        if seq.use_rect_engine(self.cfg):
+            datas = self._attach_rect(datas, inputs_list)
         data = mesh_mod.shard_put(self.mesh, mesh_mod.stack_pytrees(datas))
         state = mesh_mod.shard_put(self.mesh, mesh_mod.stack_pytrees(states))
         return data, state
+
+    def _attach_rect(self, datas, inputs_list):
+        """Build per-problem rectification in stacked mode: a common rect
+        frame size across all problems + runtime warp-transpose flags, so
+        every RectView pytree stacks under the one sharded executable
+        (engine/rectcost.py stacked mode)."""
+        from ..engine import rectcost
+
+        nat = []
+        for inputs in inputs_list:
+            rh0 = rectcost.build_rect_host(
+                inputs.cameras, inputs.width, inputs.height, self.v_pad)
+            nat.append((rh0.statics.wp, rh0.statics.hp))
+        wp = max(w for w, _ in nat)
+        hp = max(h for _, h in nat)
+        out = []
+        for inputs, data in zip(inputs_list, datas):
+            rh = rectcost.build_rect_host(
+                inputs.cameras, inputs.width, inputs.height, self.v_pad,
+                force_size=(wp, hp), stacked=True)
+            rv = rectcost.build_rect_views(rh, inputs.images, None,
+                                           cameras=inputs.cameras)
+            out.append(data._replace(rect=rv))
+            self.rstat = rh.statics
+        return out
 
     def _writeback(self, data, state) -> None:
         """Pull the round's final state to the host dicts (sanitized the way
@@ -191,7 +222,12 @@ class ParallelRunner:
                         self.mesh, state.plane[..., 3], src_index)
                 data = data._replace(src_depths=src)
             with self.timer.span("sweep"):
-                state = mesh_mod.sharded_sweep(self.mesh, data, state, params)
+                if self.rstat is not None:
+                    state = mesh_mod.sharded_sweep_staged(
+                        self.mesh, data, state, params, rstat=self.rstat)
+                else:
+                    state = mesh_mod.sharded_sweep(self.mesh, data, state,
+                                                   params)
                 jax.block_until_ready(state.plane)
             if verbose:
                 dt = time.time() - t0

@@ -384,6 +384,11 @@ def run_pipeline(
                 print(f"Iteration {iteration + 1} / {round_num * 4} "
                       "resumed from checkpoint")
             iteration += 1
+        # Round boundary: this scale's rect hosts (O(views x H x W) f32 warp
+        # fields per problem) and compiled variants are never used again —
+        # evict so host memory stays bounded across a multi-round run.
+        _RECT_HOSTS.clear()
+        _COMPILED_SWEEPS.clear()
 
     for p in problems:
         export_npy(p, depth=depth, normal=normal, weak=weak, edge=edge)

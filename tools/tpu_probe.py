@@ -89,7 +89,8 @@ def main() -> int:
         p0 = schedule_params(PatchMatchParams(), 0, None)
         st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(99), False)
         t1 = time.time()
-        st0 = run_sweep_staged(data, st0, p0, rstat=rstat)
+        st0 = run_sweep_staged(data, st0, p0, rstat=rstat,
+                               timer=StageTimer(echo=True))
         np.asarray(jax.device_get(st0.plane))
         print(f"--- warmup FIRST_INIT sweep: {time.time() - t1:.2f}s "
               f"(weak frac "
