@@ -158,10 +158,16 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
 
     # Chunk-major: per probe chunk, plain accumulators (no big dynamic
     # slice updates — XLA copies the whole (S, Hp, Wp) buffer per
-    # .at[].add), finalized per chunk and concatenated.
+    # .at[].add), finalized per chunk and concatenated. The chunk size
+    # adapts to the frame so the (sc, k, Hp, Wp) gather-index transient
+    # stays bounded (~256 MB — full-res frames OOM'd at the fixed size).
+    k_max = max(len([o for o in offsets if float(o[1]) == oy])
+                for oy in oys)
+    sc_cap = max(1, min(S_CHUNK,
+                        int(256e6 // (k_max * Hp * Wp * 4))))
     vol_chunks, gvol_chunks, valid_chunks = [], [], []
-    for c0 in range(0, S, S_CHUNK):
-        sc = min(S_CHUNK, S - c0)
+    for c0 in range(0, S, sc_cap):
+        sc = min(sc_cap, S - c0)
         gxs, gys, g0s = coeff_fn(c0, sc)
         sum_src = jnp.zeros((sc, Hp, Wp), jnp.float32)
         sum_src2 = jnp.zeros((sc, Hp, Wp), jnp.float32)
@@ -212,8 +218,10 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
             rv.src_ok, jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
             interpret=interpret)
         src_ok_c = jnp.moveaxis(ok_flat.reshape(Hp, sc, Wp), 1, 0)
+        # Cheirality: with the source at +x (rectify.build_rect_pair, b>0),
+        # a point in front of the cameras has disparity -f*b/z < 0.
         valid = (rv.ref_ok[None] > 0.5) & (src_ok_c > 0.5) & \
-            (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c > 0) & (d_c < BIG)
+            (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c < 0)
         vol_chunks.append(jnp.where(valid, cost_c, VOL_INVALID))
         valid_chunks.append(valid)
 
@@ -283,6 +291,55 @@ def _inv3(m: jnp.ndarray) -> jnp.ndarray:
     inv = jnp.stack([jnp.stack([A, B, C]), jnp.stack([D, E, F]),
                      jnp.stack([G, Hc, I])])
     return inv / det
+
+
+def batched_cost_fields(data: SweepData, statics, planes: jnp.ndarray,
+                        params: PatchMatchParams, geom: bool,
+                        interpret=None) -> jnp.ndarray:
+    """(S, V, H, W) NCC (+ geom) costs of S ref-cam plane fields — the
+    batched form of S calls to rectcost.rect_cost_vector. All S fields
+    share one set of ref-side window sums per view and their source
+    gathers ride batched launches; exact per-center window warps (same
+    formula as ncc_rect_one — no probe-lattice approximation).
+
+    planes: (S, H, W, 4). The strong propagation (DPE.cu:1214-1666)
+    evaluates ~14 plane fields per color iteration; evaluating them through
+    one volume pass removes the 14x-recomputed ref sums and 14x dispatch
+    trains."""
+    S, H, W = planes.shape[:3]
+    offs = pm.strong_offsets(params)
+    out = []
+    for i, rv in enumerate(data.rect):
+        Hp, Wp = rv.ref_rect.shape
+        # Warp all S plane fields into the rect frame in one launch pair.
+        pr = jax.vmap(lambda p: rectcost.plane_to_rect(p, rv.R2r))(planes)
+        chans = jnp.moveaxis(pr, -1, 1).reshape(S * 4, H, W)
+        prw = rectcost.warp_fwd_channels(rv, statics, i, chans,
+                                         interpret=interpret)
+        prw = prw.reshape(S, 4, Hp, Wp)
+
+        def coeff_fn(c0, sc):
+            nr = prw[c0:c0 + sc, :3]
+            d = prw[c0:c0 + sc, 3]
+            safe = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+            return (rv.b * nr[:, 0] / safe, rv.b * nr[:, 1] / safe,
+                    rv.b * rv.f * nr[:, 2] / safe)
+
+        vol, gvol, valid = _sweep_ncc_volume(
+            rv, coeff_fn, S, offs, params.sigma_spatial, params.sigma_color,
+            with_geom=geom, interpret=interpret)
+        cost_i = jnp.where(valid, vol, COST_MAX)
+        if geom:
+            cost_i = cost_i + params.geom_factor * jnp.where(
+                valid, gvol, GEOM_COST_MAX)
+        back = rectcost.warp_bwd_channels(rv, statics, i, cost_i,
+                                          interpret=interpret)  # (S, H, W)
+        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
+                           else 0.0)
+        back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],
+                         back, cmax)
+        out.append(back)
+    return jnp.moveaxis(jnp.stack(out), 0, 1)                # (S, V, H, W)
 
 
 def rect_disparity_sweep(data: SweepData, state: PMState,

@@ -100,16 +100,28 @@ def export_depth_image_point_cloud(out_path, image_bgr: np.ndarray,
     return Path(out_path)
 
 
-def run_fusion(dense_folder, problems: List[scene.Problem],
-               verbose: bool = False) -> Path:
-    dense_folder = Path(dense_folder)
-    n = len(problems)
-    id_to_idx = {p.ref_image_id: i for i, p in enumerate(problems)}
+class _ViewCache:
+    """Bounded LRU loader for per-view fusion inputs.
 
-    depths, normals, weaks, images, cams, masks = [], [], [], [], [], []
-    block_dir = dense_folder / "blocks"
-    blocks = []
-    for p in problems:
+    The reference loads EVERY view's image/depth/normal/weak into RAM up
+    front (DPE.cpp:1248-1282) — O(views x H x W) host bytes, several GB at
+    full resolution. Fusion touches views with pair-graph locality (each
+    reference view plus its <=20 sources), so a small cache streams them
+    from the per-view .dmb checkpoints instead. Used-pixel masks persist
+    outside the cache (they accumulate across reference views,
+    DPE.cpp:1299/1353)."""
+
+    def __init__(self, problems, max_views: int = 24):
+        from collections import OrderedDict
+        self.problems = problems
+        self.max_views = max_views
+        self._cache = OrderedDict()
+
+    def get(self, i: int):
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        p = self.problems[i]
         rf = p.result_folder
         d = formats.read_dmb(rf / "depths.dmb").astype(np.float32)
         nm = formats.read_dmb(rf / "normals.dmb").astype(np.float32)
@@ -124,20 +136,27 @@ def run_fusion(dense_folder, problems: List[scene.Problem],
             cam = cam.scaled(sx, sy, W, H)
         if w.shape != (H, W):
             w = scene.rescale_nearest(w, W, H)
-        depths.append(d)
-        normals.append(nm)
-        weaks.append(w)
-        images.append(img)
-        cams.append(cam)
-        masks.append(np.zeros((H, W), bool))
-        bp = block_dir / f"mask_{p.ref_image_id}.jpg"
-        if bp.exists():
-            import cv2
-            b = cv2.imread(str(bp), cv2.IMREAD_GRAYSCALE)
-            b = scene.resize_linear(b, W, H) if b.shape != (H, W) else b
-            blocks.append(b < 128)  # True = blocked (sky mask)
-        else:
-            blocks.append(None)
+        entry = {"depth": d, "normal": nm, "weak": w, "img": img, "cam": cam}
+        self._cache[i] = entry
+        while len(self._cache) > self.max_views:
+            self._cache.popitem(last=False)
+        return entry
+
+
+def run_fusion(dense_folder, problems: List[scene.Problem],
+               verbose: bool = False, max_resident_views: int = 24) -> Path:
+    dense_folder = Path(dense_folder)
+    id_to_idx = {p.ref_image_id: i for i, p in enumerate(problems)}
+    block_dir = dense_folder / "blocks"
+    cache = _ViewCache(problems, max_resident_views)
+
+    # Used-pixel masks are the only whole-scene state (1 bit/px equivalent).
+    masks = {}
+
+    def mask_of(i):
+        if i not in masks:
+            masks[i] = np.zeros(cache.get(i)["depth"].shape, bool)
+        return masks[i]
 
     pts_out = []
     col_out = []
@@ -147,22 +166,29 @@ def run_fusion(dense_folder, problems: List[scene.Problem],
         src_idx = [id_to_idx[s] for s in p.src_image_ids if s in id_to_idx]
         if not src_idx:
             continue
-        ref_cam = _camera_of(cams[i])
-        src_K = jnp.asarray(np.stack([cams[j].K for j in src_idx]))
-        src_R = jnp.asarray(np.stack([cams[j].R for j in src_idx]))
-        src_t = jnp.asarray(np.stack([cams[j].t for j in src_idx]))
-        ref_mask = masks[i].copy()
-        if blocks[i] is not None:
-            ref_mask |= blocks[i]
+        ref = cache.get(i)
+        srcs = [cache.get(j) for j in src_idx]
+        ref_cam = _camera_of(ref["cam"])
+        src_K = jnp.asarray(np.stack([s["cam"].K for s in srcs]))
+        src_R = jnp.asarray(np.stack([s["cam"].R for s in srcs]))
+        src_t = jnp.asarray(np.stack([s["cam"].t for s in srcs]))
+        ref_mask = mask_of(i).copy()
+        bp = block_dir / f"mask_{p.ref_image_id}.jpg"
+        if bp.exists():
+            import cv2
+            H, W = ref["depth"].shape
+            b = cv2.imread(str(bp), cv2.IMREAD_GRAYSCALE)
+            b = scene.resize_linear(b, W, H) if b.shape != (H, W) else b
+            ref_mask |= b < 128          # True = blocked (sky mask)
 
         accept, Xw, num_c, used, sxs, sys_ = _fuse_view(
             (ref_cam.K, ref_cam.R, ref_cam.t),
             (src_K, src_R, src_t),
-            jnp.asarray(depths[i]), jnp.asarray(normals[i]),
-            jnp.asarray(weaks[i]), jnp.asarray(ref_mask),
-            jnp.asarray(np.stack([depths[j] for j in src_idx])),
-            jnp.asarray(np.stack([normals[j] for j in src_idx])),
-            jnp.asarray(np.stack([masks[j] for j in src_idx])),
+            jnp.asarray(ref["depth"]), jnp.asarray(ref["normal"]),
+            jnp.asarray(ref["weak"]), jnp.asarray(ref_mask),
+            jnp.asarray(np.stack([s["depth"] for s in srcs])),
+            jnp.asarray(np.stack([s["normal"] for s in srcs])),
+            jnp.asarray(np.stack([mask_of(j) for j in src_idx])),
         )
         accept = np.asarray(accept)
         Xw = np.asarray(Xw)
@@ -171,13 +197,15 @@ def run_fusion(dense_folder, problems: List[scene.Problem],
         sxs = np.asarray(sxs)
         sys_ = np.asarray(sys_)
 
-        # Color average over ref + used src pixels (DPE.cpp:1348-1362).
-        col = images[i].astype(np.float32).copy()
+        # Color average over ref + used src pixels (DPE.cpp:1348-1362);
+        # vectorized fancy-indexed gather/scatter per source view.
+        col = ref["img"].astype(np.float32).copy()
         for v, j in enumerate(src_idx):
             uv = used[v] & accept
-            col[uv] += images[j][sys_[v][uv], sxs[v][uv]].astype(np.float32)
+            col[uv] += srcs[v]["img"][sys_[v][uv], sxs[v][uv]] \
+                .astype(np.float32)
             # Mark used src pixels (DPE.cpp:1353).
-            masks[j][sys_[v][uv], sxs[v][uv]] = True
+            mask_of(j)[sys_[v][uv], sxs[v][uv]] = True
         col[accept] /= (num_c[accept] + 1)[:, None]
 
         pts_out.append(Xw[accept])

@@ -89,3 +89,36 @@ def test_interp_profile_invalid_marker():
     val, ok = weak_rect.interp_profile(
         jnp.asarray(prof), jnp.zeros((4, 4), jnp.float32))
     assert not np.asarray(ok).any()
+
+
+def test_batched_cost_fields_match_rect_cost_vector(tmp_path):
+    """The shared-ref-sums batched evaluator must agree with per-field
+    rect_cost_vector (same window math, same validity incl. cheirality)."""
+    from dpe_mvs_tpu.engine import patchmatch as pm
+    from dpe_mvs_tpu.geometry import cameras as geo
+    from dpe_mvs_tpu.ops import planes as planegen
+
+    sc, inputs = _problem(tmp_path)
+    h, w = inputs.height, inputs.width
+    v_pad = 2
+    rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                  inputs.height, v_pad)
+    views_r = rectcost.build_rect_views(rh, inputs.images, None,
+                                        cameras=inputs.cameras)
+    data = st_mod.build_sweep_data(inputs, v_pad)._replace(rect=views_r)
+    params = PatchMatchParams()
+
+    px, py = geo.pixel_grid(h, w)
+    keys = jax.random.split(jax.random.key(5), 3)
+    planes = jnp.stack([
+        planegen.random_plane(k, data.ref_cam, px, py, inputs.depth_min,
+                              inputs.depth_max) for k in keys])
+
+    batched = np.asarray(weak_rect.batched_cost_fields(
+        data, rh.statics, planes, params, geom=False))      # (S, V, H, W)
+    offs = pm.strong_offsets(params)
+    for s in range(3):
+        ref = np.asarray(rectcost.rect_cost_vector(
+            data.rect, rh.statics, planes[s], data.view_valid, params,
+            offs, geom=False))
+        np.testing.assert_allclose(batched[s], ref, rtol=1e-4, atol=1e-4)
