@@ -119,7 +119,10 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
     ``coeff_fn(c0, sc) -> (gxs, gys, g0s)`` produces the (sc, Hp, Wp)
     affine disparity coefficient fields of probes [c0, c0+sc) — computed
     per chunk so no (S, Hp, Wp) coefficient tensors are ever live (full-res
-    images OOM'd the eager form). Returns (vol, gvol | None, valid) with
+    images OOM'd the eager form). ``c0`` may be a traced scalar (the chunk
+    loop is a lax.scan) and may address up to ceil(S/sc)*sc — callers must
+    pad their probe sources (jax.lax.dynamic_slice_in_dim, last probe
+    replicated); the overhang is dropped here. Returns (vol, gvol | None, valid) with
     vol VOL_INVALID-marked; geom is the forward-backward error
     (``ComputeGeomConsistencyCost``, DPE.cu:915-953)."""
     Hp, Wp = rv.ref_rect.shape
@@ -156,18 +159,19 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
     m_ref = sum_ref * inv_w
     var_ref = sum_ref2 * inv_w - m_ref * m_ref
 
-    # Chunk-major: per probe chunk, plain accumulators (no big dynamic
-    # slice updates — XLA copies the whole (S, Hp, Wp) buffer per
-    # .at[].add), finalized per chunk and concatenated. The chunk size
-    # adapts to the frame so the (sc, k, Hp, Wp) gather-index transient
-    # stays bounded (~256 MB — full-res frames OOM'd at the fixed size).
+    # Chunk-major over the probe axis, as a lax.scan: one compiled chunk
+    # body instead of S/sc unrolled copies (classify at S=61 was a
+    # 50-110 s compile as an unrolled loop). Plain accumulators inside the
+    # body (no big dynamic slice updates — XLA copies the whole
+    # (S, Hp, Wp) buffer per .at[].add). The chunk size adapts to the
+    # frame so the (sc, k, Hp, Wp) gather-index transient stays bounded
+    # (~256 MB — full-res frames OOM'd at the fixed size).
     k_max = max(len([o for o in offsets if float(o[1]) == oy])
                 for oy in oys)
-    sc_cap = max(1, min(S_CHUNK,
-                        int(256e6 // (k_max * Hp * Wp * 4))))
-    vol_chunks, gvol_chunks, valid_chunks = [], [], []
-    for c0 in range(0, S, sc_cap):
-        sc = min(sc_cap, S - c0)
+    sc = max(1, min(S_CHUNK, int(256e6 // (k_max * Hp * Wp * 4))))
+    n_chunks = -(-S // sc)
+
+    def chunk_body(_, c0):
         gxs, gys, g0s = coeff_fn(c0, sc)
         sum_src = jnp.zeros((sc, Hp, Wp), jnp.float32)
         sum_src2 = jnp.zeros((sc, Hp, Wp), jnp.float32)
@@ -208,8 +212,7 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
             (var_ref[None] < rectcost.K_MIN_VAR) |
             (var_src < rectcost.K_MIN_VAR), COST_MAX, cost_c)
 
-        # Center validity per probe (DPE.cu:577-580 + rect content masks +
-        # cheirality: positive disparity <=> depth in front).
+        # Center validity per probe (DPE.cu:577-580 + rect content masks).
         d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
         d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
         xs_c = u[None] + d_c                                 # (sc, Hp, Wp)
@@ -222,8 +225,7 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
         # a point in front of the cameras has disparity -f*b/z < 0.
         valid = (rv.ref_ok[None] > 0.5) & (src_ok_c > 0.5) & \
             (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c < 0)
-        vol_chunks.append(jnp.where(valid, cost_c, VOL_INVALID))
-        valid_chunks.append(valid)
+        vol_c = jnp.where(valid, cost_c, VOL_INVALID)
 
         if with_geom:
             z_flat = rowgather.row_gather(
@@ -234,11 +236,21 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
             x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
             err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
             err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
-            gvol_chunks.append(jnp.where(valid, err, VOL_INVALID))
+            gvol_c = jnp.where(valid, err, VOL_INVALID)
+        else:
+            gvol_c = jnp.zeros((0, Hp, Wp), jnp.float32)
+        return None, (vol_c, valid, gvol_c)
 
-    vol = jnp.concatenate(vol_chunks, axis=0)
-    valid = jnp.concatenate(valid_chunks, axis=0)
-    gvol = jnp.concatenate(gvol_chunks, axis=0) if with_geom else None
+    if n_chunks == 1:
+        _, (vol, valid, gvol) = chunk_body(None, jnp.int32(0))
+        gvol = gvol if with_geom else None
+        return vol[:S], (gvol[:S] if gvol is not None else None), valid[:S]
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * sc
+    _, (vols, valids, gvols) = jax.lax.scan(chunk_body, None, starts)
+    vol = vols.reshape(n_chunks * sc, Hp, Wp)[:S]
+    valid = valids.reshape(n_chunks * sc, Hp, Wp)[:S]
+    gvol = (gvols.reshape(n_chunks * sc, Hp, Wp)[:S] if with_geom else None)
     return vol, gvol, valid
 
 
@@ -255,11 +267,14 @@ def _probe_volume_one(rv, gx, gy, g0, offsets: np.ndarray,
     d0 = jnp.where(jnp.isfinite(d0), d0, BIG)
 
     ds = jnp.asarray(probe_offsets())[:, None, None]
+    ds = jnp.concatenate([ds, jnp.broadcast_to(ds[-1:],
+                                               (S_CHUNK, 1, 1))])
 
     def coeff_fn(c0, sc):
+        ds_c = jax.lax.dynamic_slice_in_dim(ds, c0, sc, axis=0)
         return (jnp.broadcast_to(gx[None], (sc, Hp, Wp)),
                 jnp.broadcast_to(gy[None], (sc, Hp, Wp)),
-                g0[None] + ds[c0:c0 + sc])
+                g0[None] + ds_c)
 
     ok0 = jnp.abs(d0) < BIG
     vol, gvol, _valid = _sweep_ncc_volume(
@@ -317,10 +332,13 @@ def batched_cost_fields(data: SweepData, statics, planes: jnp.ndarray,
         prw = rectcost.warp_fwd_channels(rv, statics, i, chans,
                                          interpret=interpret)
         prw = prw.reshape(S, 4, Hp, Wp)
+        prw = jnp.concatenate([prw, jnp.broadcast_to(
+            prw[-1:], (S_CHUNK, 4, Hp, Wp))])
 
         def coeff_fn(c0, sc):
-            nr = prw[c0:c0 + sc, :3]
-            d = prw[c0:c0 + sc, 3]
+            p_c = jax.lax.dynamic_slice_in_dim(prw, c0, sc, axis=0)
+            nr = p_c[:, :3]
+            d = p_c[:, 3]
             safe = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
             return (rv.b * nr[:, 0] / safe, rv.b * nr[:, 1] / safe,
                     rv.b * rv.f * nr[:, 2] / safe)
@@ -401,9 +419,13 @@ def rect_disparity_sweep(data: SweepData, state: PMState,
         ndotp = ncx * (pox - cam.cx) / cam.fx + \
             ncy * (poy - cam.cy) / cam.fy + ncz
 
+        dpad = jnp.concatenate([dispsj, jnp.broadcast_to(
+            dispsj[-1:], (S_CHUNK, 1, 1))])
+
         def coeff_fn(c0, sc):
             # Probe depths -> plane distances -> rect coeffs, per chunk.
-            pdep = f * bl_r[None] / (disp0_r[None] + dispsj[c0:c0 + sc])
+            ds_c = jax.lax.dynamic_slice_in_dim(dpad, c0, sc, axis=0)
+            pdep = f * bl_r[None] / (disp0_r[None] + ds_c)
             w_s = -pdep * ndotp[None]                        # plane dist
             safe = jnp.where(jnp.abs(w_s) < 1e-30, 1e-30, w_s)
             return (rv.b * nrx[None] / safe, rv.b * nry[None] / safe,
