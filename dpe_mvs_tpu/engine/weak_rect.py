@@ -475,8 +475,16 @@ def build_weak_bundle(data: SweepData, sup, state: PMState,
     geom = params.geom_consistency
 
     anchors = sup.neighbours                    # (8, H, W, 2) int32, -1 pad
-    ax = anchors[..., 0]
-    ay = anchors[..., 1]
+    # Invalid anchors (-1) gather from the pixel's OWN position, not from a
+    # clamped (0, 0): a stray corner query in every tile would blow the
+    # banded gather's row band up to the whole image (anchor_valid masks
+    # the values downstream).
+    xg8 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, None, :],
+                           (8, H, W))
+    yg8 = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :, None],
+                           (8, H, W))
+    ax = jnp.where(anchors[..., 0] >= 0, anchors[..., 0], xg8)
+    ay = jnp.where(anchors[..., 1] >= 0, anchors[..., 1], yg8)
 
     vols_c, vols_g, d0s, aps, a_d0s = [], [], [], [], []
     for i, rv in enumerate(data.rect):
@@ -583,9 +591,12 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
     H, W = data.ref_image.shape
     cx, cy = checker.sites(H, W, color)
     anchors = checker.compact_stack(sup.neighbours, color)   # (8, H, W2, 2)
-    a_x = anchors[..., 0]
-    a_y = anchors[..., 1]
-    a_valid = a_x >= 0
+    a_valid = anchors[..., 0] >= 0
+    # Invalid anchors gather from the site's own position (see
+    # build_weak_bundle: a clamped (0, 0) per tile wrecks the banded
+    # gather's locality).
+    a_x = jnp.where(a_valid, anchors[..., 0], cx.astype(jnp.int32)[None])
+    a_y = jnp.where(a_valid, anchors[..., 1], cy.astype(jnp.int32)[None])
 
     # Fresh state at anchors: plane (4 ch) + selected (bitcast f32) +
     # weak state, one banded gather.

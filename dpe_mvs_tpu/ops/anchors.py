@@ -200,6 +200,12 @@ def gen_neighbours(
     pool_x = jnp.moveaxis(jnp.concatenate(pool_x, axis=0), 0, -1)  # (H, W, P)
     pool_y = jnp.moveaxis(jnp.concatenate(pool_y, axis=0), 0, -1)
     pool_valid = jnp.moveaxis(jnp.concatenate(pool_valid, axis=0), 0, -1)
+    # Invalid pool entries gather from the pixel's own position instead of
+    # a clamped (0, 0) — one stray corner query per tile blows the banded
+    # TPU gather's row band up to the whole image (pool_valid masks all
+    # downstream uses).
+    pool_x = jnp.where(pool_valid, pool_x, xg[..., None])
+    pool_y = jnp.where(pool_valid, pool_y, yg[..., None])
     P = pool_x.shape[-1]
 
     pool_size = jnp.sum(pool_valid, axis=-1)

@@ -156,6 +156,11 @@ def fit_plane_ransac(key, data: SweepData, sup, state: PMState,
     ay = jnp.moveaxis(anchors[..., 1], 0, -1)
     valid = ax >= 0
     strong_count = jnp.sum(valid, axis=-1)
+    # Invalid anchors gather from the pixel's own position: a clamped
+    # (0, 0) in every tile destroys the banded TPU gather's locality
+    # (validity masks every consumer below).
+    ax = jnp.where(valid, ax, px.astype(jnp.int32)[..., None])
+    ay = jnp.where(valid, ay, py.astype(jnp.int32)[..., None])
 
     # Anchor cam-frame 3D data from their current planes (DPE.cu:2928-2945).
     a_plane = sampling.gather_map(state.plane, ay, ax)     # (H, W, 8, 4)

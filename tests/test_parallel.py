@@ -82,7 +82,8 @@ def test_parallel_pipeline_e2e(eight_devices, tmp_path):
     mesh = mesh_mod.make_mesh(eight_devices)
     cfg = EngineConfig(min_rounds=1)
     ret = run_pipeline_parallel(sc.folder, mesh=mesh, verbose=False,
-                                fusion=False, cfg=cfg)
+                                fusion=False, cfg=cfg,
+                                keep_intermediates=True)
     assert ret == 0
     for v in range(4):
         d = np.load(sc.folder / "DPE" / f"{v:08d}" / "depth.npy")
@@ -91,6 +92,19 @@ def test_parallel_pipeline_e2e(eight_devices, tmp_path):
         assert valid.mean() > 0.4, (v, valid.mean())
         err = np.abs(d[valid] - gt[valid]) / gt[valid]
         assert np.median(err) < 0.03, (v, np.median(err))
+
+    # Round-granular resume (api.py resume flag): every round is already
+    # checkpointed, so a resumed run must skip all sweeps and reproduce
+    # the outputs byte-for-byte.
+    import time as _time
+    d0 = np.load(sc.folder / "DPE" / "00000000" / "depth.npy")
+    t0 = _time.time()
+    ret = run_pipeline_parallel(sc.folder, mesh=mesh, verbose=False,
+                                fusion=False, cfg=cfg, resume=True)
+    assert ret == 0
+    assert _time.time() - t0 < 30.0          # no sweeps re-ran
+    d1 = np.load(sc.folder / "DPE" / "00000000" / "depth.npy")
+    np.testing.assert_array_equal(d0, d1)
 
 
 def test_parallel_pipeline_rect_2rounds(eight_devices, tmp_path):
