@@ -1,17 +1,27 @@
 """Benchmark: depth-maps/sec/chip on the flagship PatchMatch sweep.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures the steady-state rate of full photometric PatchMatch sweeps
-(ProcessProblem equivalents) at the reference's coarse working resolution
-(max dim ~800, the resolution every scene is swept at in rounds 0..n-1,
-main.cpp:390-408) on a synthetic multi-view scene, through the rectified
-row-local cost engine (the TPU path). North-star target from BASELINE.json:
+Measures the steady-state rate of full PatchMatch sweeps (ProcessProblem
+equivalents) at the reference's coarse working resolution (max dim ~800,
+the resolution every scene is swept at in rounds 0..n-1, main.cpp:390-408)
+on a synthetic multi-view scene, through the rectified row-local cost
+engine (the TPU path). North-star target from BASELINE.json:
 >= 1 depth-map/s/chip.
+
+Pass B (the schedule's modal sweep: REFINE_ITER + APD + edge + geom,
+main.cpp:508-556) is measured against REAL exchanged depths: pass A runs
+for every view of the scene first (stacked rect statics — ONE compiled
+stage set serves all views, exactly like the parallel executor), the
+per-view depth maps are exchanged, and pass B times problem 0 against its
+source views' actual pass-A output.
+
+Set DPE_BENCH_PROFILE=1 for a per-stage breakdown on stderr.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,46 +42,66 @@ def main() -> int:
     from dpe_mvs_tpu.engine import state as st_mod
     from dpe_mvs_tpu.engine.stages import run_sweep_staged
     from dpe_mvs_tpu.io import scene as scene_mod
+    from dpe_mvs_tpu.utils.profiling import StageTimer
     from dpe_mvs_tpu.utils.synthetic import make_plane_scene
+    import jax.numpy as jnp
 
     width, height, num_views = 800, 600, 6
+    v_pad = num_views - 1
     folder = tempfile.mkdtemp(prefix="dpe_bench_")
     sc = make_plane_scene(folder, width=width, height=height,
-                          num_views=num_views, seed=3)
+                         num_views=num_views, seed=3)
     problems = scene_mod.generate_sample_list(sc.folder)
-    inputs = scene_mod.load_problem_inputs(
-        problems[0], 1, need_prior=False, need_weak=False,
-        need_src_depths=False)
-    v_pad = num_views - 1
-    data = st_mod.build_sweep_data(inputs, v_pad)
-    rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
-                                  inputs.height, v_pad)
-    rviews = rectcost.build_rect_views(rh, inputs.images, None,
-                                       cameras=inputs.cameras)
-    data = data._replace(rect=rviews)
-    params = schedule_params(PatchMatchParams(), 0, None)  # round-0 pass A
-    st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
 
+    # Stacked rect frames: one common (wp, hp) + runtime transpose flags, so
+    # ONE compiled stage set serves every problem (6 distinct per-problem
+    # transpose statics would otherwise mean 6 full compile sets on the
+    # remote service).
+    all_inputs = [scene_mod.load_problem_inputs(
+        p, 1, need_prior=False, need_weak=False, need_src_depths=False)
+        for p in problems]
+    nat = [rectcost.build_rect_host(i.cameras, i.width, i.height, v_pad)
+           for i in all_inputs]
+    wp = max(rh.statics.wp for rh in nat)
+    hp = max(rh.statics.hp for rh in nat)
+    datas, rstat = [], None
+    for inputs in all_inputs:
+        rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                      inputs.height, v_pad,
+                                      force_size=(wp, hp), stacked=True)
+        rviews = rectcost.build_rect_views(rh, inputs.images, None,
+                                           cameras=inputs.cameras)
+        rstat = rh.statics
+        datas.append(st_mod.build_sweep_data(inputs, v_pad)._replace(
+            rect=rviews))
+    inputs = all_inputs[0]
+
+    params = schedule_params(PatchMatchParams(), 0, None)  # round-0 pass A
+    profile = os.environ.get("DPE_BENCH_PROFILE") == "1"
     bench_start = time.time()
 
-    def sweep(st, seed, p):
+    def sweep(data, st, seed, p, timer=None):
         st = run_sweep_staged(data, st._replace(key=jax.random.key(seed)),
-                              p, rstat=rh.statics)
+                              p, rstat=rstat, timer=timer)
         # Axon gotcha: block_until_ready returns early; force a readback.
         np.asarray(jax.device_get(st.plane[..., 3]))
         return st
 
-    def measure(st, p, reps=5):
+    def measure(data, st, p, reps=5):
         times = []
         for i in range(reps):
             t0 = time.perf_counter()
-            sweep(st, i + 1, p)
+            sweep(data, st, i + 1, p)
             times.append(time.perf_counter() - t0)
+        print(f"# passA reps: {[round(t, 2) for t in times]}",
+              file=sys.stderr, flush=True)
         return float(np.median(times))
 
     # Pass A (round 0): FIRST_INIT photometric. Warm-up compiles stages.
-    st_a = sweep(st0, 0, params)
-    t_a = measure(st0, params)
+    st0 = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
+    st_a = sweep(datas[0], st0, 0, params,
+                 timer=StageTimer(echo=profile))
+    t_a = measure(datas[0], st0, params)
     out = {
         "metric": "depth-maps/sec/chip",
         "value": round(1.0 / t_a, 4),
@@ -79,25 +109,61 @@ def main() -> int:
         "vs_baseline": round(1.0 / t_a, 4),
     }
 
-    # Pass B (rounds >= 1): REFINE_ITER with APD + edge + geometric
-    # consistency — the schedule's modal sweep (3 of every 4,
-    # main.cpp:508-556). Skipped if compile already ate the time budget
-    # (the axon compile service is sometimes wedged for >20 min).
-    budget_s = float(__import__("os").environ.get("DPE_BENCH_BUDGET", 3000))
+    budget_s = float(os.environ.get("DPE_BENCH_BUDGET", 3000))
     if time.time() - bench_start < budget_s:
         try:
-            import jax.numpy as jnp
+            # Pass A for the remaining views (same compiled stages —
+            # stacked statics), then the depth exchange: pass B reads the
+            # source views' REAL pass-A depths, like the schedule's
+            # geometric rounds read the previous pass's .dmb files
+            # (DPE.cpp:826-844).
+            depth_maps = [np.asarray(st_a.plane[..., 3])]
+            for b in range(1, num_views):
+                stb = st_mod.init_pm_state(all_inputs[b], v_pad,
+                                           jax.random.key(b), False)
+                stb = sweep(datas[b], stb, b, params)
+                depth_maps.append(np.asarray(stb.plane[..., 3]))
+
+            # Sanitize (writeback semantics: out-of-range -> 0) + assemble
+            # problem 0's source stack from pair.txt adjacency.
+            def sane(d, inp):
+                return np.where((d >= inp.depth_min) & (d <= inp.depth_max),
+                                d, 0.0).astype(np.float32)
+
+            id_to_idx = {p.ref_image_id: i for i, p in enumerate(problems)}
+            src_ids = list(problems[0].src_image_ids[:v_pad])
+            src_d = np.stack([
+                sane(depth_maps[id_to_idx[s]], all_inputs[id_to_idx[s]])
+                for s in src_ids] +
+                [np.zeros((height, width), np.float32)] *
+                (v_pad - len(src_ids)))
+
             params_b = schedule_params(PatchMatchParams(), 1, 0)
-            mid = 0.5 * (inputs.depth_min + inputs.depth_max)
-            src_d = np.full((v_pad, height, width), mid, np.float32)
-            rviews_b = rectcost.build_rect_views(
-                rh, inputs.images, src_d, cameras=inputs.cameras)
-            data = data._replace(
-                rect=rviews_b,
-                src_depths=jnp.asarray(src_d))
+            src_dj = jnp.asarray(src_d)
+
+            rect_fn = jax.jit(
+                lambda rect, sd: rectcost.rectify_src_depths(
+                    rect, rstat, sd))
+
+            def sweep_b(st, seed, timer=None):
+                # The src-depth rectification is per-sweep work in a real
+                # geometric round (depends on exchanged depths) — include
+                # it in the timed section.
+                data_b = datas[0]._replace(
+                    rect=rect_fn(datas[0].rect, src_dj),
+                    src_depths=src_dj)
+                return sweep(data_b, st, seed, params_b, timer=timer)
+
             st_b0 = st_a._replace(key=jax.random.key(100))
-            sweep(st_b0, 0, params_b)
-            t_b = measure(st_b0, params_b, reps=3)
+            sweep_b(st_b0, 0, timer=StageTimer(echo=profile))
+            times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                sweep_b(st_b0, i + 1)
+                times.append(time.perf_counter() - t0)
+            print(f"# passB reps: {[round(t, 2) for t in times]}",
+                  file=sys.stderr, flush=True)
+            t_b = float(np.median(times))
             out["passB_dms"] = round(1.0 / t_b, 4)
             # One schedule round = pass A + 3 geometric passes.
             out["round_dms"] = round(1.0 / (t_a + 3 * t_b), 4)

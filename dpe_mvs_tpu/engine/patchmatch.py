@@ -729,15 +729,16 @@ def _disparity_setup(data: SweepData, state: PMState):
 
 def disparity_sweep(data: SweepData, state: PMState, params: PatchMatchParams,
                     disps: np.ndarray, cost_fn=None,
-                    rstat=None) -> jnp.ndarray:
+                    rstat=None, stride: int = 1) -> jnp.ndarray:
     """(S, H, W) weighted costs over disparity offsets around the current
     depth, shared by DepthToWeak and LocalRefine. With ``rstat`` the whole
     sweep runs batched on the rect engine (engine/weak_rect.py) — ref-side
-    sums shared across probes."""
+    sums shared across probes (``stride`` subsamples the probe centers
+    there; ignored on the XLA path)."""
     if rstat is not None:
         from . import weak_rect
         return weak_rect.rect_disparity_sweep(data, state, params, rstat,
-                                              disps)
+                                              disps, stride=stride)
     H, W = data.ref_image.shape
     px, py = geo.pixel_grid(H, W)
     offs = strong_offsets(params)
@@ -765,8 +766,14 @@ def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams,
     H, W = data.ref_image.shape
     radius = 30
     disps = np.arange(-radius, radius + 1, dtype=np.float32)
+    # At working resolutions the 61-probe sweep is the largest single
+    # stage slice; stride-2 probe centers quarter it (labels only — the
+    # margin/peak analysis tolerates profile sharing). Tiny test frames
+    # keep the exact path.
+    stride = 2 if (rstat is not None
+                   and rstat.hp * rstat.wp >= 384 * 512) else 1
     costs = disparity_sweep(data, state, params, disps, cost_fn,
-                            rstat=rstat)                      # (61, H, W)
+                            rstat=rstat, stride=stride)       # (61, H, W)
 
     S = costs.shape[0]
     interior = jnp.zeros((S,), bool).at[2:S - 2].set(True)[:, None, None]

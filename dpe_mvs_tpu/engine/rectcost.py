@@ -35,11 +35,13 @@ from ..config import COST_MAX, GEOM_COST_MAX, PatchMatchParams
 from ..geometry import cameras as geo
 from ..geometry import rectify
 from ..io.scene import ProblemInputs
+from ..ops import ncc
 from ..ops import rowgather
 from ..ops import sampling
 from ..ops import warp as warp_ops
 
 K_MIN_VAR = 1e-5
+BIG = float(1e30)
 
 
 class RectView(NamedTuple):
@@ -213,6 +215,26 @@ def warp_bwd_channels(rv: "RectView", statics: RectStatics, i: int,
     return warp_ops.warp_channels(
         chans, rv.b_vy, rv.b_hx, transposed_input=statics.b_transposed[i],
         nearest=nearest, interpret=interpret)
+
+
+def warp_bwd_channels_strided(rv: "RectView", statics: RectStatics, i: int,
+                              chans: jnp.ndarray, stride: int,
+                              interpret=None) -> jnp.ndarray:
+    """(C, Hp//stride, Wp//stride) rect-subgrid channels -> (C, H, W) orig
+    grid, nearest. The backward warp fields index the full-res rect frame;
+    a subgrid source just means subsampled vertical-pass columns and
+    stride-scaled index values (consumed by the strided classify volume)."""
+    if stride == 1:
+        return warp_bwd_channels(rv, statics, i, chans, interpret=interpret)
+    s = 1.0 / stride
+    if statics.stacked:
+        return warp_ops.warp_channels_dyn(
+            chans, rv.b_vy[:, ::stride] * s, rv.b_hx * s, rv.b_flag,
+            nearest=True, interpret=interpret)
+    return warp_ops.warp_channels(
+        chans, rv.b_vy[:, ::stride] * s, rv.b_hx * s,
+        transposed_input=statics.b_transposed[i], nearest=True,
+        interpret=interpret)
 
 
 def _src_warp_fields(pair: rectify.RectPair, width: int, height: int):
@@ -521,3 +543,227 @@ def rect_cost_vector(
                            cmax)
         out.append(c_orig)
     return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Batched volume evaluation: S plane-coefficient fields through one pass
+# ---------------------------------------------------------------------------
+
+S_CHUNK = 8        # probes per row-gather launch (bounds transient memory)
+VOL_INVALID = 1e4  # marker for invalid volume entries (bf16-exact)
+VALID_THRESH = 1e3
+
+
+def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
+                      sigma_spatial: float, sigma_color: float,
+                      with_geom: bool, interpret=None, stride: int = 1):
+    """(S, Hp, Wp) window-NCC cost of S plane-coefficient fields against
+    rv, sharing the probe-independent ref-side sums across all S and
+    batching the source gathers (S_CHUNK probes x row offsets per launch).
+
+    ``coeff_fn(c0, sc) -> (gxs, gys, g0s)`` produces the (sc, Hp, Wp)
+    affine disparity coefficient fields of probes [c0, c0+sc) — computed
+    per chunk so no (S, Hp, Wp) coefficient tensors are ever live (full-res
+    images OOM'd the eager form). ``c0`` may be a traced scalar (the chunk
+    loop is a lax.scan) and may address up to ceil(S/sc)*sc — callers must
+    pad their probe sources (jax.lax.dynamic_slice_in_dim, last probe
+    replicated); the overhang is dropped here. Returns (vol, gvol | None, valid) with
+    vol VOL_INVALID-marked; geom is the forward-backward error
+    (``ComputeGeomConsistencyCost``, DPE.cu:915-953).
+
+    ``stride > 1`` evaluates the volume only on the rect frame's
+    stride-subgrid — window samples keep full-resolution texture, only the
+    *centers* are subsampled (quarter the work at stride 2); the classify
+    stage tolerates neighbouring pixels sharing a profile. coeff_fn must
+    then return subgrid-shaped fields; the returned volume is
+    (S, Hp//stride, Wp//stride)."""
+    Hp, Wp = rv.ref_rect.shape
+    Hs, Ws = Hp // stride, Wp // stride
+    u = (jnp.arange(Ws, dtype=jnp.float32) * stride)[None, :]
+    v = (jnp.arange(Hs, dtype=jnp.float32) * stride)[:, None]
+
+    def sub(a):
+        return a[::stride, ::stride] if stride > 1 else a
+
+    oys = sorted(set(float(o[1]) for o in offsets))
+    ref_c = sub(rv.ref_rect)
+    inv_2ss = 1.0 / (2.0 * sigma_spatial * sigma_spatial)
+    inv_2sc = 1.0 / (2.0 * sigma_color * sigma_color)
+
+    # Ref-side sums are probe-independent: one set serves all S probes.
+    sum_w = jnp.zeros((Hs, Ws), jnp.float32)
+    sum_ref = jnp.zeros((Hs, Ws), jnp.float32)
+    sum_ref2 = jnp.zeros((Hs, Ws), jnp.float32)
+    refs_by_oy, ws_by_oy, src_by_oy = {}, {}, {}
+    for oy in oys:
+        oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+        # Source rows subsampled to the centers''' rows, FULL width (the
+        # gathered columns span the full frame).
+        src_by_oy[oy] = _shift2(rv.src_rect, int(oy), 0)[::stride]
+        refs, ws = [], []
+        for ox in oxs:
+            ref_s = sub(_shift2(rv.ref_rect, int(oy), int(ox)))
+            refs.append(ref_s)
+            spatial = float(np.sqrt(ox * ox + oy * oy))
+            ws.append(jnp.exp(-spatial * inv_2ss
+                              - jnp.abs(ref_s - ref_c) * inv_2sc))
+        refs_by_oy[oy], ws_by_oy[oy] = refs, ws
+        for w, r in zip(ws, refs):
+            sum_w = sum_w + w
+            sum_ref = sum_ref + w * r
+            sum_ref2 = sum_ref2 + w * r * r
+
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    var_ref = sum_ref2 * inv_w - m_ref * m_ref
+
+    # Chunk-major over the probe axis, as a lax.scan: one compiled chunk
+    # body instead of S/sc unrolled copies (classify at S=61 was a
+    # 50-110 s compile as an unrolled loop). Plain accumulators inside the
+    # body (no big dynamic slice updates — XLA copies the whole
+    # (S, Hp, Wp) buffer per .at[].add). The chunk size adapts to the
+    # frame so the (sc, k, Hp, Wp) gather-index transient stays bounded
+    # (~256 MB — full-res frames OOM'd at the fixed size).
+    k_max = max(len([o for o in offsets if float(o[1]) == oy])
+                for oy in oys)
+    sc_cap = max(1, min(S_CHUNK, int(256e6 // (k_max * Hs * Ws * 4))))
+    n_chunks = -(-S // sc_cap)
+    # Balanced chunk size: ceil(S / n_chunks) instead of the cap, so the
+    # padded tail stays under one chunk's worth of slots (S=9 at cap 8
+    # would evaluate 16 slots — 78% waste; balanced: 2x5 = 10).
+    sc = -(-S // n_chunks)
+
+    def chunk_body(_, c0):
+        gxs, gys, g0s = coeff_fn(c0, sc)
+        sum_src = jnp.zeros((sc, Hs, Ws), jnp.float32)
+        sum_src2 = jnp.zeros((sc, Hs, Ws), jnp.float32)
+        sum_rs = jnp.zeros((sc, Hs, Ws), jnp.float32)
+        for oy in oys:
+            oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+            k = len(oxs)
+            # xs for (offset j, probe s): one launch per (oy, chunk).
+            xs_parts = []
+            for ox in oxs:
+                us = u + ox
+                vs = v + oy
+                xs = us[None] + gxs * (us[None] - rv.cx) + \
+                    gys * (vs[None] - rv.cy) + g0s
+                xs_parts.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
+            xs_cat = jnp.stack(xs_parts, axis=1)             # (sc, k, Hs, Ws)
+            xs_cat = jnp.moveaxis(xs_cat, 2, 0)              # (Hs, sc, k, Ws)
+            xs_flat = xs_cat.reshape(Hs, sc * k * Ws)
+            src = rowgather.bilinear_x(src_by_oy[oy], xs_flat,
+                                       interpret=interpret)
+            src = src.reshape(Hs, sc, k, Ws)
+            src = jnp.moveaxis(src, 1, 0)                    # (sc, Hs, k, Ws)
+            for j in range(k):
+                w = ws_by_oy[oy][j]
+                r = refs_by_oy[oy][j]
+                s_j = src[:, :, j]                           # (sc, Hp, Wp)
+                sum_src = sum_src + w[None] * s_j
+                sum_src2 = sum_src2 + w[None] * s_j * s_j
+                sum_rs = sum_rs + (w * r)[None] * s_j
+
+        m_src = sum_src * inv_w[None]
+        var_src = sum_src2 * inv_w[None] - m_src * m_src
+        covar = sum_rs * inv_w[None] - m_ref[None] * m_src
+        den = jnp.sqrt(jnp.maximum(var_ref[None] * var_src,
+                                   K_MIN_VAR ** 2))
+        cost_c = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
+        cost_c = jnp.where(
+            (var_ref[None] < K_MIN_VAR) |
+            (var_src < K_MIN_VAR), COST_MAX, cost_c)
+
+        # Center validity per probe (DPE.cu:577-580 + rect content masks).
+        d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
+        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
+        xs_c = u[None] + d_c                                 # (sc, Hs, Ws)
+        xs_c_flat = jnp.moveaxis(xs_c, 0, 1).reshape(Hs, sc * Ws)
+        ok_flat = rowgather.row_gather(
+            rv.src_ok[::stride],
+            jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
+            interpret=interpret)
+        src_ok_c = jnp.moveaxis(ok_flat.reshape(Hs, sc, Ws), 1, 0)
+        # Cheirality: with the source at +x (rectify.build_rect_pair, b>0),
+        # a point in front of the cameras has disparity -f*b/z < 0.
+        valid = (sub(rv.ref_ok)[None] > 0.5) & (src_ok_c > 0.5) & \
+            (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c < 0)
+        vol_c = jnp.where(valid, cost_c, VOL_INVALID)
+
+        if with_geom:
+            z_flat = rowgather.row_gather(
+                rv.src_depth_rect[::stride],
+                jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
+                interpret=interpret)
+            z_src = jnp.moveaxis(z_flat.reshape(Hs, sc, Ws), 1, 0)
+            x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
+            err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
+            err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
+            gvol_c = jnp.where(valid, err, VOL_INVALID)
+        else:
+            gvol_c = jnp.zeros((0, Hs, Ws), jnp.float32)
+        return None, (vol_c, valid, gvol_c)
+
+    if n_chunks == 1:
+        _, (vol, valid, gvol) = chunk_body(None, jnp.int32(0))
+        gvol = gvol if with_geom else None
+        return vol[:S], (gvol[:S] if gvol is not None else None), valid[:S]
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * sc
+    _, (vols, valids, gvols) = jax.lax.scan(chunk_body, None, starts)
+    vol = vols.reshape(n_chunks * sc, Hs, Ws)[:S]
+    valid = valids.reshape(n_chunks * sc, Hs, Ws)[:S]
+    gvol = (gvols.reshape(n_chunks * sc, Hs, Ws)[:S] if with_geom else None)
+    return vol, gvol, valid
+
+
+def batched_cost_fields(data, statics, planes: jnp.ndarray,
+                        params: PatchMatchParams, geom: bool,
+                        interpret=None) -> jnp.ndarray:
+    """(S, V, H, W) NCC (+ geom) costs of S ref-cam plane fields — the
+    batched form of S calls to rect_cost_vector. All S fields share one set
+    of ref-side window sums per view and their source gathers ride batched
+    launches; exact per-center window warps (same formula as ncc_rect_one —
+    no probe-lattice approximation).
+
+    planes: (S, H, W, 4). The strong propagation (DPE.cu:1214-1666)
+    evaluates ~14 plane fields per color iteration; evaluating them through
+    one volume pass removes the 14x-recomputed ref sums and 14x dispatch
+    trains (wired into strong_rect.propagate_strong_rect)."""
+    S, H, W = planes.shape[:3]
+    offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
+    out = []
+    for i, rv in enumerate(data.rect):
+        Hp, Wp = rv.ref_rect.shape
+        # Warp all S plane fields into the rect frame in one launch pair.
+        pr = jax.vmap(lambda p: plane_to_rect(p, rv.R2r))(planes)
+        chans = jnp.moveaxis(pr, -1, 1).reshape(S * 4, H, W)
+        prw = warp_fwd_channels(rv, statics, i, chans,
+                                interpret=interpret)
+        prw = prw.reshape(S, 4, Hp, Wp)
+        prw = jnp.concatenate([prw, jnp.broadcast_to(
+            prw[-1:], (S_CHUNK, 4, Hp, Wp))])
+
+        def coeff_fn(c0, sc):
+            p_c = jax.lax.dynamic_slice_in_dim(prw, c0, sc, axis=0)
+            nr = p_c[:, :3]
+            d = p_c[:, 3]
+            safe = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+            return (rv.b * nr[:, 0] / safe, rv.b * nr[:, 1] / safe,
+                    rv.b * rv.f * nr[:, 2] / safe)
+
+        vol, gvol, valid = _sweep_ncc_volume(
+            rv, coeff_fn, S, offs, params.sigma_spatial, params.sigma_color,
+            with_geom=geom, interpret=interpret)
+        cost_i = jnp.where(valid, vol, COST_MAX)
+        if geom:
+            cost_i = cost_i + params.geom_factor * jnp.where(
+                valid, gvol, GEOM_COST_MAX)
+        back = warp_bwd_channels(rv, statics, i, cost_i,
+                                 interpret=interpret)        # (S, H, W)
+        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
+                           else 0.0)
+        back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],
+                         back, cmax)
+        out.append(back)
+    return jnp.moveaxis(jnp.stack(out), 0, 1)                # (S, V, H, W)

@@ -67,8 +67,10 @@ BIG = float(1e30)
 
 PROBE_S = 16           # probes per pixel per view
 PROBE_STEP = 2.0       # px between probes
-VOL_INVALID = 1e4      # marker for invalid volume entries (bf16-exact)
-VALID_THRESH = 1e3
+# Shared volume machinery lives in rectcost (also used by strong_rect);
+# re-exported here for compatibility.
+from .rectcost import (S_CHUNK, VALID_THRESH, VOL_INVALID,  # noqa: E402
+                       _sweep_ncc_volume, batched_cost_fields)
 
 
 def probe_offsets() -> np.ndarray:
@@ -104,154 +106,6 @@ def _rect_plane_coeffs(rv, plane: jnp.ndarray, statics, i: int,
                                      interpret=interpret)
     prw = jnp.moveaxis(prw, 0, -1)
     return rectify.disparity_coeffs(prw[..., :3], prw[..., 3], rv.f, rv.b)
-
-
-S_CHUNK = 8        # probes per row-gather launch (bounds transient memory)
-
-
-def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
-                      sigma_spatial: float, sigma_color: float,
-                      with_geom: bool, interpret=None):
-    """(S, Hp, Wp) window-NCC cost of S plane-coefficient fields against
-    rv, sharing the probe-independent ref-side sums across all S and
-    batching the source gathers (S_CHUNK probes x row offsets per launch).
-
-    ``coeff_fn(c0, sc) -> (gxs, gys, g0s)`` produces the (sc, Hp, Wp)
-    affine disparity coefficient fields of probes [c0, c0+sc) — computed
-    per chunk so no (S, Hp, Wp) coefficient tensors are ever live (full-res
-    images OOM'd the eager form). ``c0`` may be a traced scalar (the chunk
-    loop is a lax.scan) and may address up to ceil(S/sc)*sc — callers must
-    pad their probe sources (jax.lax.dynamic_slice_in_dim, last probe
-    replicated); the overhang is dropped here. Returns (vol, gvol | None, valid) with
-    vol VOL_INVALID-marked; geom is the forward-backward error
-    (``ComputeGeomConsistencyCost``, DPE.cu:915-953)."""
-    Hp, Wp = rv.ref_rect.shape
-    u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
-    v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
-
-    oys = sorted(set(float(o[1]) for o in offsets))
-    ref_c = rv.ref_rect
-    inv_2ss = 1.0 / (2.0 * sigma_spatial * sigma_spatial)
-    inv_2sc = 1.0 / (2.0 * sigma_color * sigma_color)
-
-    # Ref-side sums are probe-independent: one set serves all S probes.
-    sum_w = jnp.zeros((Hp, Wp), jnp.float32)
-    sum_ref = jnp.zeros((Hp, Wp), jnp.float32)
-    sum_ref2 = jnp.zeros((Hp, Wp), jnp.float32)
-    refs_by_oy, ws_by_oy, src_by_oy = {}, {}, {}
-    for oy in oys:
-        oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
-        src_by_oy[oy] = rectcost._shift2(rv.src_rect, int(oy), 0)
-        refs, ws = [], []
-        for ox in oxs:
-            ref_s = rectcost._shift2(rv.ref_rect, int(oy), int(ox))
-            refs.append(ref_s)
-            spatial = float(np.sqrt(ox * ox + oy * oy))
-            ws.append(jnp.exp(-spatial * inv_2ss
-                              - jnp.abs(ref_s - ref_c) * inv_2sc))
-        refs_by_oy[oy], ws_by_oy[oy] = refs, ws
-        for w, r in zip(ws, refs):
-            sum_w = sum_w + w
-            sum_ref = sum_ref + w * r
-            sum_ref2 = sum_ref2 + w * r * r
-
-    inv_w = 1.0 / sum_w
-    m_ref = sum_ref * inv_w
-    var_ref = sum_ref2 * inv_w - m_ref * m_ref
-
-    # Chunk-major over the probe axis, as a lax.scan: one compiled chunk
-    # body instead of S/sc unrolled copies (classify at S=61 was a
-    # 50-110 s compile as an unrolled loop). Plain accumulators inside the
-    # body (no big dynamic slice updates — XLA copies the whole
-    # (S, Hp, Wp) buffer per .at[].add). The chunk size adapts to the
-    # frame so the (sc, k, Hp, Wp) gather-index transient stays bounded
-    # (~256 MB — full-res frames OOM'd at the fixed size).
-    k_max = max(len([o for o in offsets if float(o[1]) == oy])
-                for oy in oys)
-    sc = max(1, min(S_CHUNK, int(256e6 // (k_max * Hp * Wp * 4))))
-    n_chunks = -(-S // sc)
-
-    def chunk_body(_, c0):
-        gxs, gys, g0s = coeff_fn(c0, sc)
-        sum_src = jnp.zeros((sc, Hp, Wp), jnp.float32)
-        sum_src2 = jnp.zeros((sc, Hp, Wp), jnp.float32)
-        sum_rs = jnp.zeros((sc, Hp, Wp), jnp.float32)
-        for oy in oys:
-            oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
-            k = len(oxs)
-            # xs for (offset j, probe s): one launch per (oy, chunk).
-            xs_parts = []
-            for ox in oxs:
-                us = u + ox
-                vs = v + oy
-                xs = us[None] + gxs * (us[None] - rv.cx) + \
-                    gys * (vs[None] - rv.cy) + g0s
-                xs_parts.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
-            xs_cat = jnp.stack(xs_parts, axis=1)             # (sc, k, Hp, Wp)
-            xs_cat = jnp.moveaxis(xs_cat, 2, 0)              # (Hp, sc, k, Wp)
-            xs_flat = xs_cat.reshape(Hp, sc * k * Wp)
-            src = rowgather.bilinear_x(src_by_oy[oy], xs_flat,
-                                       interpret=interpret)
-            src = src.reshape(Hp, sc, k, Wp)
-            src = jnp.moveaxis(src, 1, 0)                    # (sc, Hp, k, Wp)
-            for j in range(k):
-                w = ws_by_oy[oy][j]
-                r = refs_by_oy[oy][j]
-                s_j = src[:, :, j]                           # (sc, Hp, Wp)
-                sum_src = sum_src + w[None] * s_j
-                sum_src2 = sum_src2 + w[None] * s_j * s_j
-                sum_rs = sum_rs + (w * r)[None] * s_j
-
-        m_src = sum_src * inv_w[None]
-        var_src = sum_src2 * inv_w[None] - m_src * m_src
-        covar = sum_rs * inv_w[None] - m_ref[None] * m_src
-        den = jnp.sqrt(jnp.maximum(var_ref[None] * var_src,
-                                   rectcost.K_MIN_VAR ** 2))
-        cost_c = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
-        cost_c = jnp.where(
-            (var_ref[None] < rectcost.K_MIN_VAR) |
-            (var_src < rectcost.K_MIN_VAR), COST_MAX, cost_c)
-
-        # Center validity per probe (DPE.cu:577-580 + rect content masks).
-        d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
-        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
-        xs_c = u[None] + d_c                                 # (sc, Hp, Wp)
-        xs_c_flat = jnp.moveaxis(xs_c, 0, 1).reshape(Hp, sc * Wp)
-        ok_flat = rowgather.row_gather(
-            rv.src_ok, jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
-            interpret=interpret)
-        src_ok_c = jnp.moveaxis(ok_flat.reshape(Hp, sc, Wp), 1, 0)
-        # Cheirality: with the source at +x (rectify.build_rect_pair, b>0),
-        # a point in front of the cameras has disparity -f*b/z < 0.
-        valid = (rv.ref_ok[None] > 0.5) & (src_ok_c > 0.5) & \
-            (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c < 0)
-        vol_c = jnp.where(valid, cost_c, VOL_INVALID)
-
-        if with_geom:
-            z_flat = rowgather.row_gather(
-                rv.src_depth_rect,
-                jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
-                interpret=interpret)
-            z_src = jnp.moveaxis(z_flat.reshape(Hp, sc, Wp), 1, 0)
-            x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
-            err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
-            err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
-            gvol_c = jnp.where(valid, err, VOL_INVALID)
-        else:
-            gvol_c = jnp.zeros((0, Hp, Wp), jnp.float32)
-        return None, (vol_c, valid, gvol_c)
-
-    if n_chunks == 1:
-        _, (vol, valid, gvol) = chunk_body(None, jnp.int32(0))
-        gvol = gvol if with_geom else None
-        return vol[:S], (gvol[:S] if gvol is not None else None), valid[:S]
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * sc
-    _, (vols, valids, gvols) = jax.lax.scan(chunk_body, None, starts)
-    vol = vols.reshape(n_chunks * sc, Hp, Wp)[:S]
-    valid = valids.reshape(n_chunks * sc, Hp, Wp)[:S]
-    gvol = (gvols.reshape(n_chunks * sc, Hp, Wp)[:S] if with_geom else None)
-    return vol, gvol, valid
 
 
 def _probe_volume_one(rv, gx, gy, g0, offsets: np.ndarray,
@@ -308,61 +162,10 @@ def _inv3(m: jnp.ndarray) -> jnp.ndarray:
     return inv / det
 
 
-def batched_cost_fields(data: SweepData, statics, planes: jnp.ndarray,
-                        params: PatchMatchParams, geom: bool,
-                        interpret=None) -> jnp.ndarray:
-    """(S, V, H, W) NCC (+ geom) costs of S ref-cam plane fields — the
-    batched form of S calls to rectcost.rect_cost_vector. All S fields
-    share one set of ref-side window sums per view and their source
-    gathers ride batched launches; exact per-center window warps (same
-    formula as ncc_rect_one — no probe-lattice approximation).
-
-    planes: (S, H, W, 4). The strong propagation (DPE.cu:1214-1666)
-    evaluates ~14 plane fields per color iteration; evaluating them through
-    one volume pass removes the 14x-recomputed ref sums and 14x dispatch
-    trains."""
-    S, H, W = planes.shape[:3]
-    offs = pm.strong_offsets(params)
-    out = []
-    for i, rv in enumerate(data.rect):
-        Hp, Wp = rv.ref_rect.shape
-        # Warp all S plane fields into the rect frame in one launch pair.
-        pr = jax.vmap(lambda p: rectcost.plane_to_rect(p, rv.R2r))(planes)
-        chans = jnp.moveaxis(pr, -1, 1).reshape(S * 4, H, W)
-        prw = rectcost.warp_fwd_channels(rv, statics, i, chans,
-                                         interpret=interpret)
-        prw = prw.reshape(S, 4, Hp, Wp)
-        prw = jnp.concatenate([prw, jnp.broadcast_to(
-            prw[-1:], (S_CHUNK, 4, Hp, Wp))])
-
-        def coeff_fn(c0, sc):
-            p_c = jax.lax.dynamic_slice_in_dim(prw, c0, sc, axis=0)
-            nr = p_c[:, :3]
-            d = p_c[:, 3]
-            safe = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
-            return (rv.b * nr[:, 0] / safe, rv.b * nr[:, 1] / safe,
-                    rv.b * rv.f * nr[:, 2] / safe)
-
-        vol, gvol, valid = _sweep_ncc_volume(
-            rv, coeff_fn, S, offs, params.sigma_spatial, params.sigma_color,
-            with_geom=geom, interpret=interpret)
-        cost_i = jnp.where(valid, vol, COST_MAX)
-        if geom:
-            cost_i = cost_i + params.geom_factor * jnp.where(
-                valid, gvol, GEOM_COST_MAX)
-        back = rectcost.warp_bwd_channels(rv, statics, i, cost_i,
-                                          interpret=interpret)  # (S, H, W)
-        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
-                           else 0.0)
-        back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],
-                         back, cmax)
-        out.append(back)
-    return jnp.moveaxis(jnp.stack(out), 0, 1)                # (S, V, H, W)
-
-
 def rect_disparity_sweep(data: SweepData, state: PMState,
                          params: PatchMatchParams, statics,
-                         disps: np.ndarray, interpret=None) -> jnp.ndarray:
+                         disps: np.ndarray, interpret=None,
+                         stride: int = 1) -> jnp.ndarray:
     """(S, H, W) selected-view-weighted costs over disparity offsets around
     the current depth — the rect-engine implementation of the probe loops
     of ``DepthToWeak`` (DPE.cu:2593-2747) and ``LocalRefine``
@@ -371,7 +174,13 @@ def rect_disparity_sweep(data: SweepData, state: PMState,
     All S probes share one set of ref-side window sums and their source
     gathers ride batched row-gather launches (vs. S independent cost-field
     evaluations) — the classify stage was the second-largest slice of the
-    round-2 pass-A profile."""
+    round-2 pass-A profile.
+
+    ``stride=2`` evaluates the probe centers on the rect frame's even
+    subgrid (windows keep full-res texture) and nearest-upsamples through
+    the backward warp — quarter the gather work; used by the classify
+    stage, whose margin/peak analysis tolerates neighbouring pixels
+    sharing a profile (DepthToWeak labels, not depths)."""
     H, W = data.ref_image.shape
     S = len(disps)
     nview = data.num_src
@@ -394,13 +203,14 @@ def rect_disparity_sweep(data: SweepData, state: PMState,
     total = jnp.zeros((S, H, W), jnp.float32)
     for i, rv in enumerate(data.rect):
         Hp, Wp = rv.ref_rect.shape
-        u = jnp.arange(Wp, dtype=jnp.float32)[None, :]
-        v = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+        u = (jnp.arange(Wp // stride, dtype=jnp.float32) * stride)[None, :]
+        v = (jnp.arange(Hp // stride, dtype=jnp.float32) * stride)[:, None]
         ch = rectcost.warp_fwd_channels(
             rv, statics, i,
             jnp.stack([n_cam[..., 0], n_cam[..., 1], n_cam[..., 2],
                        origin_depth, bl]),
             interpret=interpret)
+        ch = ch[:, ::stride, ::stride]
         ncx, ncy, ncz, od_r, bl_r = (ch[k] for k in range(5))
         # Rect-frame normal (plane distances are frame-invariant).
         R = rv.R2r
@@ -433,13 +243,15 @@ def rect_disparity_sweep(data: SweepData, state: PMState,
 
         vol, gvol, valid = _sweep_ncc_volume(
             rv, coeff_fn, S, offs, params.sigma_spatial,
-            params.sigma_color, with_geom=geom, interpret=interpret)
+            params.sigma_color, with_geom=geom, interpret=interpret,
+            stride=stride)
         cost_i = jnp.where(valid, vol, COST_MAX)
         if geom:
             cost_i = cost_i + params.geom_factor * jnp.where(
                 valid, gvol, GEOM_COST_MAX)
-        back = rectcost.warp_bwd_channels(rv, statics, i, cost_i,
-                                          interpret=interpret)  # (S, H, W)
+        back = rectcost.warp_bwd_channels_strided(
+            rv, statics, i, cost_i, stride,
+            interpret=interpret)                             # (S, H, W)
         cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
                            else 0.0)
         back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],

@@ -131,9 +131,13 @@ def _gather2d_kernel(iy_ref, ix_ref, img_ref, out_ref, scratch, sem,
     k = pl.program_id(2)
     iy = iy_ref[:]
     ix = ix_ref[:]
-    rlo = jnp.min(iy)
+    # Align the band origin to the 8-row / 128-lane tile grid BEFORE sizing
+    # the window walk: windows step from the aligned origin, so an unaligned
+    # origin would leave the first partial tile of the band uncovered
+    # (queries there would silently read 0).
+    rlo = (jnp.min(iy) // 8) * 8
     rhi = jnp.max(iy)
-    clo = jnp.min(ix)
+    clo = (jnp.min(ix) // LANES) * LANES
     chi = jnp.max(ix)
 
     n_rwin = (rhi - rlo) // BR + 1
@@ -143,12 +147,13 @@ def _gather2d_kernel(iy_ref, ix_ref, img_ref, out_ref, scratch, sem,
         out_ref[c] = jnp.zeros((QROWS, LANES), out_ref.dtype)
 
     def rwin_body(rw, _):
-        r0 = jnp.minimum(rlo + rw * BR, h - BR)
-        r0 = pl.multiple_of((r0 // 8) * 8, 8)
+        # rlo is 8-aligned and h is a multiple of BR, so both operands of
+        # the clamp are aligned — no re-flooring (which would skip the top
+        # of the band when the origin was unaligned).
+        r0 = pl.multiple_of(jnp.minimum(rlo + rw * BR, h - BR), 8)
 
         def cwin_body(cw, _):
-            c0 = jnp.minimum(clo + cw * BC, w - BC)
-            c0 = pl.multiple_of((c0 // LANES) * LANES, LANES)
+            c0 = pl.multiple_of(jnp.minimum(clo + cw * BC, w - BC), LANES)
             dma = pltpu.make_async_copy(
                 img_ref.at[pl.ds(k * cc, cc), pl.ds(r0, BR), pl.ds(c0, BC)],
                 scratch, sem)
@@ -254,6 +259,16 @@ def gather2d(imgs: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
         out = out[:C, :Qh, :Qw]
         return out[0] if squeeze else out
 
+    out = _gather2d_hbm(imgs, iyp, ixp, interpret)
+    out = out[:C, :Qh, :Qw]
+    return out[0] if squeeze else out
+
+
+def _gather2d_hbm(imgs, iyp, ixp, interpret=None):
+    """HBM-resident (windowed-DMA) gather path; split out so tests can
+    exercise it below the VMEM-residency threshold. iyp/ixp must already be
+    padded to (QROWS, LANES) multiples and clamped in range."""
+    Qhp, Qwp = iyp.shape
     imgp = _pad_to(imgs, (CCHUNK, max(BR, 8), max(BC, LANES)))
     Cp, Hp, Wp = imgp.shape
     cc = min(CCHUNK, Cp)
@@ -277,5 +292,4 @@ def gather2d(imgs: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
         ],
         interpret=_auto_interpret(interpret),
     )(iyp, ixp, imgp)
-    out = out[:C, :Qh, :Qw]
-    return out[0] if squeeze else out
+    return out

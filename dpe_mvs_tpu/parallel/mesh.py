@@ -274,22 +274,41 @@ def _exchange_exec_pruned(mesh: Mesh, axis: str, shifts: Tuple[int, ...],
 def exchange_depths(
     mesh: Mesh,
     depths: jnp.ndarray,        # (B, H, W) sanitized depth maps, sharded
-    src_index: jnp.ndarray,     # (B, V) int32: global problem index of each
-                                # source view (from pair.txt), -1 = padding
+    src_index,                  # (B, V) int32 HOST array: global problem
+                                # index of each source view (pair.txt
+                                # adjacency, build_src_index), -1 = padding
     axis: str = "views",
 ) -> jnp.ndarray:
     """The depth-exchange collective (replaces the reference's
     ``depths.dmb`` disk reads between sweeps, DPE.cpp:826-844). Returns
     (B, V, H, W) source depth stacks.
 
+    ``src_index`` must be host data (NumPy): the pruning decision below
+    inspects it on the host, which is impossible for a multi-process global
+    array spanning non-addressable devices. ``build_src_index`` returns
+    NumPy — pass its output straight through. The properly-sharded device
+    copies of the shift/slot tables are built here.
+
     When the pair graph touches only a few neighbouring devices (the usual
     MVS adjacency: views sorted along the capture path), the exchange runs
     as per-shift ``ppermute`` rounds whose traffic scales with the device
     degree; otherwise it falls back to the all_gather."""
+    if isinstance(src_index, jax.Array) and not src_index.is_fully_addressable:
+        raise TypeError(
+            "exchange_depths needs the HOST pair graph (NumPy) for "
+            "src_index; pass build_src_index's output, not a sharded array")
     n_dev = len(mesh.devices.flat)
     B = depths.shape[0]
     b_loc = B // n_dev
     idx = np.asarray(src_index)
+    sharding = NamedSharding(mesh, P(axis))
+
+    def _put(arr):
+        # Global-semantics placement that works single- and multi-process
+        # (each process fills only its addressable shards).
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda i: arr[i])
+
     own_dev = (np.arange(B) // b_loc)[:, None]             # (B, 1)
     src_dev = np.where(idx >= 0, idx // max(b_loc, 1), 0)
     shift = (src_dev - own_dev) % n_dev                    # device shift
@@ -299,11 +318,11 @@ def exchange_depths(
     if len([s for s in used if s != 0]) < n_dev - 1 and b_loc > 0:
         slot = np.where(idx >= 0, idx % max(b_loc, 1), 0)
         big = np.int32(n_dev + 1)
-        shift_arr = jnp.asarray(np.where(idx >= 0, shift, big), jnp.int32)
-        slot_arr = jnp.asarray(slot, jnp.int32)
+        shift_arr = _put(np.where(idx >= 0, shift, big).astype(np.int32))
+        slot_arr = _put(slot.astype(np.int32))
         return _exchange_exec_pruned(mesh, axis, tuple(used), n_dev)(
             depths, shift_arr, slot_arr)
-    return _exchange_exec(mesh, axis)(depths, src_index)
+    return _exchange_exec(mesh, axis)(depths, _put(idx.astype(np.int32)))
 
 
 def build_src_index(problem_ids: List[int],

@@ -198,7 +198,7 @@ class ParallelRunner:
         params_a = config.schedule_params(base, round_idx, None)
         with self.timer.span("load"):
             data, state = self._load_round(params_a, scale_size, max_scale)
-        src_index = mesh_mod.shard_put(self.mesh, jnp.asarray(self.src_index))
+        src_index = self.src_index            # host pair graph (NumPy)
         ref_ids = jnp.asarray(
             [self.problems[b].ref_image_id if self.valid[b] else 1_000_000 + b
              for b in range(self.n_pad)], jnp.uint32)
@@ -221,14 +221,25 @@ class ParallelRunner:
                     src = mesh_mod.exchange_depths(
                         self.mesh, state.plane[..., 3], src_index)
                 data = data._replace(src_depths=src)
-            with self.timer.span("sweep"):
-                if self.rstat is not None:
-                    state = mesh_mod.sharded_sweep_staged(
-                        self.mesh, data, state, params, rstat=self.rstat)
-                else:
-                    state = mesh_mod.sharded_sweep(self.mesh, data, state,
-                                                   params)
-                jax.block_until_ready(state.plane)
+            # Transient-fault retry (parity with the sequential runner's
+            # with_retry — one axon hiccup must not kill a pod round). The
+            # sharded executables do not donate their inputs, so the
+            # pre-sweep state stays valid for a retry.
+            from ..utils.retry import with_retry
+
+            def _do_sweep(data=data, state=state, params=params):
+                with self.timer.span("sweep"):
+                    if self.rstat is not None:
+                        out = mesh_mod.sharded_sweep_staged(
+                            self.mesh, data, state, params,
+                            rstat=self.rstat)
+                    else:
+                        out = mesh_mod.sharded_sweep(self.mesh, data, state,
+                                                     params)
+                    jax.block_until_ready(out.plane)
+                return out
+
+            state = with_retry(_do_sweep)
             if verbose:
                 dt = time.time() - t0
                 n = len(self.problems)

@@ -37,6 +37,9 @@ _COMPILED_SWEEPS: Dict = {}
 # pass of a round.
 _RECT_HOSTS: Dict = {}
 
+# Per-(scene, scale) common rect frame (see round_rect_frame).
+_ROUND_FRAMES: Dict = {}
+
 
 def use_rect_engine(cfg: EngineConfig) -> bool:
     """Pick the cost engine: the rectified row-local Pallas engine is the
@@ -47,17 +50,54 @@ def use_rect_engine(cfg: EngineConfig) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _rect_host(problem: scene.Problem, inputs, v_pad: int):
+def _rect_host(problem: scene.Problem, inputs, v_pad: int,
+               rect_frame=None):
     from ..engine import rectcost
 
     key = (str(problem.dense_folder), problem.ref_image_id,
-           inputs.width, inputs.height, v_pad)
+           inputs.width, inputs.height, v_pad, rect_frame)
     rh = _RECT_HOSTS.get(key)
     if rh is None:
         rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
-                                      inputs.height, v_pad)
+                                      inputs.height, v_pad,
+                                      force_size=rect_frame,
+                                      stacked=rect_frame is not None)
         _RECT_HOSTS[key] = rh
     return rh
+
+
+def round_rect_frame(problems: List[scene.Problem], scale_size: int,
+                     v_pad: int):
+    """Common (wp, hp) rect frame for every problem of a round, from camera
+    algebra alone (no image IO). With a shared frame + stacked statics, ONE
+    compiled stage set serves all problems — per-problem transpose statics
+    otherwise force a full recompile per problem (minutes each on the
+    remote TPU compile service)."""
+    from ..geometry import rectify
+
+    key = (str(problems[0].dense_folder), scale_size, v_pad)
+    fr = _ROUND_FRAMES.get(key)
+    if fr is not None:
+        return fr
+    img0 = scene.load_image_gray(problems[0].dense_folder,
+                                 problems[0].ref_image_id)
+    H0, W0 = img0.shape
+    new_cols, new_rows = scene.scaled_size(W0, H0, scale_size)
+    sx, sy = new_cols / W0, new_rows / H0
+    wp = hp = 0
+    for p in problems:
+        ids = [p.ref_image_id] + list(p.src_image_ids)[:v_pad]
+        cams = [scene.load_camera(p.dense_folder, i).scaled(
+            sx, sy, new_cols, new_rows) for i in ids]
+        ref = cams[0]
+        for src in cams[1:]:
+            pair = rectify.build_rect_pair(
+                ref.K, ref.R, ref.t, src.K, src.R, src.t,
+                new_cols, new_rows, max_scale=1.6)
+            wp = max(wp, pair.width)
+            hp = max(hp, pair.height)
+    _ROUND_FRAMES[key] = (wp, hp)
+    return wp, hp
 
 
 def _compiled_sweep(data, st, params, verbose=False):
@@ -140,7 +180,7 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
                     scale_size: int, max_scale: int, v_pad: int,
                     cfg: EngineConfig, verbose: bool = False,
                     inputs: "Optional[scene.ProblemInputs]" = None,
-                    timer=None) -> None:
+                    timer=None, rect_frame=None) -> None:
     """One sweep over one problem (``ProcessProblem``, main.cpp:411-472).
 
     ``inputs`` may be supplied pre-loaded (the scheduler prefetches the next
@@ -170,7 +210,7 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
         from ..engine import rectcost
 
         with timer.span("rectify"):
-            rh = _rect_host(problem, inputs, v_pad)
+            rh = _rect_host(problem, inputs, v_pad, rect_frame=rect_frame)
             src_d = (inputs.src_depths[1:]
                      if params.geom_consistency and
                      inputs.src_depths is not None
@@ -182,27 +222,19 @@ def process_problem(problem: scene.Problem, params: PatchMatchParams,
 
     # Failure handling (SURVEY.md §5: the reference exits on any CUDA error;
     # here transient device/tunnel failures are retried with backoff).
-    last_err = None
-    for attempt in range(3):
-        try:
-            with timer.span("sweep"):
-                if rstat is not None:
-                    from ..engine.stages import run_sweep_staged
-                    st = run_sweep_staged(data, st, params, rstat=rstat)
-                else:
-                    st = _compiled_sweep(data, st, params, verbose)(data, st)
-                jax.block_until_ready(st.plane)
-            last_err = None
-            break
-        except Exception as e:  # jax.errors.JaxRuntimeError and friends
-            if "RESOURCE_EXHAUSTED" in str(e) or isinstance(e, (KeyboardInterrupt,)):
-                raise
-            last_err = e
-            print(f"  [retry {attempt + 1}/3] sweep failed: "
-                  f"{type(e).__name__}: {str(e)[:120]}")
-            time.sleep(5.0 * (attempt + 1))
-    if last_err is not None:
-        raise last_err
+    from ..utils.retry import with_retry
+
+    def _do_sweep():
+        with timer.span("sweep"):
+            if rstat is not None:
+                from ..engine.stages import run_sweep_staged
+                out = run_sweep_staged(data, st, params, rstat=rstat)
+            else:
+                out = _compiled_sweep(data, st, params, verbose)(data, st)
+            jax.block_until_ready(out.plane)
+        return out
+
+    st = with_retry(_do_sweep)
 
     with timer.span("writeback"):
         plane = np.asarray(st.plane)
@@ -353,6 +385,11 @@ def run_pipeline(
     iteration = 0
     for i in range(round_num):
         scale_size = 2 ** (round_num - 1 - i)
+        # One stacked rect frame per round: all problems share one compiled
+        # stage set instead of paying per-problem transpose-static variants.
+        rect_frame = (round_rect_frame(problems, scale_size, v_pad)
+                      if use_rect_engine(cfg) and len(problems) > 1
+                      else None)
         for j in [None, 0, 1, 2]:
             params = config.schedule_params(base, i, j)
             if iteration > done_iter:
@@ -376,7 +413,8 @@ def run_pipeline(
                             fut = pool.submit(load, problems[idx + 1])
                         p.iteration = iteration
                         process_problem(p, params, scale_size, max_scale,
-                                        v_pad, cfg, verbose, inputs=inputs)
+                                        v_pad, cfg, verbose, inputs=inputs,
+                                        rect_frame=rect_frame)
                 _save_progress(dense_folder, iteration)
                 if verbose:
                     print(f"Iteration {iteration + 1} / {round_num * 4} done")
@@ -389,6 +427,7 @@ def run_pipeline(
         # evict so host memory stays bounded across a multi-round run.
         _RECT_HOSTS.clear()
         _COMPILED_SWEEPS.clear()
+        _ROUND_FRAMES.clear()
 
     for p in problems:
         export_npy(p, depth=depth, normal=normal, weak=weak, edge=edge)

@@ -20,8 +20,6 @@ if not RUN_TPU:
         ).strip()
 
 import numpy as np  # noqa: E402
-from dpe_mvs_tpu.utils import jaxconfig  # noqa: E402
-jaxconfig.setup()
 import jax  # noqa: E402
 
 if not RUN_TPU:
@@ -30,6 +28,11 @@ if not RUN_TPU:
     # config.
     jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# After platform selection: setup() reads the default backend to decide the
+# persistent-cache policy (CPU: on by default), which initializes it.
+from dpe_mvs_tpu.utils import jaxconfig  # noqa: E402
+jaxconfig.setup()
 
 import pytest  # noqa: E402
 

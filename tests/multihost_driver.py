@@ -41,10 +41,10 @@ def main() -> int:
     sharding = NamedSharding(mesh, P("views"))
     depth = jax.make_array_from_process_local_data(
         sharding, depth_global[sl], (B, H, W))
-    idx = jax.make_array_from_process_local_data(
-        sharding, idx_global[sl], (B, V))
 
-    out = mesh_mod.exchange_depths(mesh, depth, idx)
+    # The pair graph stays HOST data (every process has the full pair.txt);
+    # exchange_depths builds the sharded shift/slot tables itself.
+    out = mesh_mod.exchange_depths(mesh, depth, idx_global)
     assert out.shape == (B, V, H, W)
     # Each locally-addressable shard must hold its source views' depth maps
     # gathered from the OTHER process's problems (b=3 -> src 4, etc.).

@@ -63,6 +63,25 @@ def test_2d_image_and_int_dtype():
     np.testing.assert_array_equal(out, _ref(img, iy, ix))
 
 
+def test_hbm_kernel_misaligned_band():
+    """The windowed-DMA (HBM) path with a query band whose min row/col is
+    tile-misaligned and whose extent crosses a BR/BC window boundary —
+    regression test for the band-origin alignment bug (queries in the first
+    partial tile of the band silently read 0)."""
+    from dpe_mvs_tpu.ops import gather2d as g2d
+    rng = np.random.default_rng(5)
+    C, H, W = 1, 96, 160
+    imgs = rng.standard_normal((C, H, W)).astype(np.float32)
+    Qh, Qw = g2d.QROWS, g2d.LANES
+    # band rows 7..(7+BR) crosses the first BR window; cols 5..(5+BC_span)
+    iy = rng.integers(7, min(H, 7 + g2d.BR + 8), (Qh, Qw)).astype(np.int32)
+    ix = rng.integers(5, W, (Qh, Qw)).astype(np.int32)
+    out = np.asarray(g2d._gather2d_hbm(
+        jnp.asarray(imgs), jnp.asarray(iy), jnp.asarray(ix),
+        interpret=True))[:C, :Qh, :Qw]
+    np.testing.assert_array_equal(out, _ref(imgs, iy, ix))
+
+
 def test_take_last_and_pick_last():
     rng = np.random.default_rng(4)
     arr = rng.standard_normal((5, 6, 9)).astype(np.float32)

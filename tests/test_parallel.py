@@ -134,6 +134,70 @@ def test_parallel_pipeline_rect_2rounds(eight_devices, tmp_path):
         assert np.median(err) < 0.05, (v, np.median(err))
 
 
+def test_parallel_runner_retries_transient_fault(eight_devices, tmp_path,
+                                                 monkeypatch):
+    """One transient device fault must not kill a parallel round: the
+    runner retries with backoff (parity with the sequential path's
+    with_retry — VERDICT r3 weak #7)."""
+    from dpe_mvs_tpu.config import EngineConfig
+    from dpe_mvs_tpu.pipeline.parallel_schedule import run_pipeline_parallel
+    from dpe_mvs_tpu.utils import retry as retry_mod
+
+    monkeypatch.setattr(retry_mod.time, "sleep", lambda s: None)
+
+    calls = {"n": 0}
+    real = mesh_mod.sharded_sweep
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: injected transient fault")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(mesh_mod, "sharded_sweep", flaky)
+
+    sc = make_plane_scene(tmp_path, width=32, height=24, num_views=3, seed=2)
+    mesh = mesh_mod.make_mesh(eight_devices[:4])
+    cfg = EngineConfig(min_rounds=1, coarse_target=32)
+    ret = run_pipeline_parallel(sc.folder, mesh=mesh, verbose=False,
+                                fusion=False, cfg=cfg)
+    assert ret == 0
+    assert calls["n"] >= 2          # first call faulted, retry succeeded
+    d = np.load(sc.folder / "DPE" / "00000000" / "depth.npy")
+    assert (d > 0).any()
+
+
+def test_with_retry_unit(monkeypatch):
+    from dpe_mvs_tpu.utils.retry import with_retry
+
+    seen = []
+    out = with_retry(lambda: (seen.append(1), "ok")[1], sleep=lambda s: None)
+    assert out == "ok" and len(seen) == 1
+
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return 42
+
+    assert with_retry(flaky, sleep=lambda s: None) == 42
+    assert attempts["n"] == 3
+
+    def oom():
+        raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        with_retry(oom, sleep=lambda s: None)
+
+    def always():
+        raise ValueError("persistent")
+
+    with pytest.raises(ValueError, match="persistent"):
+        with_retry(always, sleep=lambda s: None)
+
+
 def test_exchange_depths_pruned_ring(eight_devices):
     """Ring pair graphs exchange via per-shift ppermute rounds (traffic
     scales with device degree, SURVEY §2.3 #2) and match the all-gather

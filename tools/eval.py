@@ -124,11 +124,13 @@ def main() -> int:
                     help="force the CPU backend (leave the TPU alone)")
     args = ap.parse_args()
 
-    from dpe_mvs_tpu.utils import jaxconfig
-    jaxconfig.setup()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    # After platform selection: setup() reads the backend for the
+    # persistent-cache policy, which initializes it.
+    from dpe_mvs_tpu.utils import jaxconfig
+    jaxconfig.setup()
     from dpe_mvs_tpu.api import dpe_mvs
     from dpe_mvs_tpu.config import EngineConfig
     from dpe_mvs_tpu.utils import synthetic
