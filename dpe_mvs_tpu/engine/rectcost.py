@@ -634,59 +634,66 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
     sc = -(-S // n_chunks)
 
     def chunk_body(_, c0):
-        gxs, gys, g0s = coeff_fn(c0, sc)
-        sum_src = jnp.zeros((sc, Hs, Ws), jnp.float32)
-        sum_src2 = jnp.zeros((sc, Hs, Ws), jnp.float32)
-        sum_rs = jnp.zeros((sc, Hs, Ws), jnp.float32)
+        # Everything in this body works in (Hs, sc, [k,] Ws) layout: the
+        # gather-index tensor is the largest operand in the engine
+        # (sc*k*Hs*Ws f32 per oy) and building it directly in the flattened
+        # row layout avoids two full materialization passes (a stack and a
+        # 4-D transpose) per (oy, chunk) that the (sc, k, Hs, Ws)
+        # formulation paid.
+        gxs, gys, g0s = coeff_fn(c0, sc)                     # (sc, Hs, Ws)
+        gxs_t = jnp.moveaxis(gxs, 0, 1)                      # (Hs, sc, Ws)
+        gys_t = jnp.moveaxis(gys, 0, 1)
+        g0s_t = jnp.moveaxis(g0s, 0, 1)
+        vq = v.reshape(Hs, 1, 1)
+        uq = u.reshape(1, 1, Ws)
+        sum_src = jnp.zeros((Hs, sc, Ws), jnp.float32)
+        sum_src2 = jnp.zeros((Hs, sc, Ws), jnp.float32)
+        sum_rs = jnp.zeros((Hs, sc, Ws), jnp.float32)
         for oy in oys:
             oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
             k = len(oxs)
-            # xs for (offset j, probe s): one launch per (oy, chunk).
-            xs_parts = []
-            for ox in oxs:
-                us = u + ox
-                vs = v + oy
-                xs = us[None] + gxs * (us[None] - rv.cx) + \
-                    gys * (vs[None] - rv.cy) + g0s
-                xs_parts.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
-            xs_cat = jnp.stack(xs_parts, axis=1)             # (sc, k, Hs, Ws)
-            xs_cat = jnp.moveaxis(xs_cat, 2, 0)              # (Hs, sc, k, Ws)
-            xs_flat = xs_cat.reshape(Hs, sc * k * Ws)
-            src = rowgather.bilinear_x(src_by_oy[oy], xs_flat,
+            us = u[0][None, :] + jnp.asarray(oxs, jnp.float32)[:, None]
+            us4 = us[None, None]                             # (1, 1, k, Ws)
+            xs4 = us4 + gxs_t[:, :, None] * (us4 - rv.cx) + \
+                (gys_t * (vq + (oy - rv.cy)))[:, :, None] + \
+                g0s_t[:, :, None]                            # (Hs, sc, k, Ws)
+            xs4 = jnp.where(jnp.isfinite(xs4), xs4, 0.0)
+            src = rowgather.bilinear_x(src_by_oy[oy],
+                                       xs4.reshape(Hs, sc * k * Ws),
                                        interpret=interpret)
             src = src.reshape(Hs, sc, k, Ws)
-            src = jnp.moveaxis(src, 1, 0)                    # (sc, Hs, k, Ws)
             for j in range(k):
-                w = ws_by_oy[oy][j]
+                w = ws_by_oy[oy][j]                          # (Hs, Ws)
                 r = refs_by_oy[oy][j]
-                s_j = src[:, :, j]                           # (sc, Hp, Wp)
-                sum_src = sum_src + w[None] * s_j
-                sum_src2 = sum_src2 + w[None] * s_j * s_j
-                sum_rs = sum_rs + (w * r)[None] * s_j
+                s_j = src[:, :, j]                           # (Hs, sc, Ws)
+                sum_src = sum_src + w[:, None] * s_j
+                sum_src2 = sum_src2 + w[:, None] * s_j * s_j
+                sum_rs = sum_rs + (w * r)[:, None] * s_j
 
-        m_src = sum_src * inv_w[None]
-        var_src = sum_src2 * inv_w[None] - m_src * m_src
-        covar = sum_rs * inv_w[None] - m_ref[None] * m_src
-        den = jnp.sqrt(jnp.maximum(var_ref[None] * var_src,
+        iw = inv_w[:, None]
+        m_src = sum_src * iw
+        var_src = sum_src2 * iw - m_src * m_src
+        covar = sum_rs * iw - m_ref[:, None] * m_src
+        den = jnp.sqrt(jnp.maximum(var_ref[:, None] * var_src,
                                    K_MIN_VAR ** 2))
         cost_c = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
         cost_c = jnp.where(
-            (var_ref[None] < K_MIN_VAR) |
+            (var_ref[:, None] < K_MIN_VAR) |
             (var_src < K_MIN_VAR), COST_MAX, cost_c)
 
         # Center validity per probe (DPE.cu:577-580 + rect content masks).
-        d_c = gxs * (u[None] - rv.cx) + gys * (v[None] - rv.cy) + g0s
-        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
-        xs_c = u[None] + d_c                                 # (sc, Hs, Ws)
-        xs_c_flat = jnp.moveaxis(xs_c, 0, 1).reshape(Hs, sc * Ws)
+        d_c = gxs_t * (uq - rv.cx) + gys_t * (vq - rv.cy) + g0s_t
+        d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)         # (Hs, sc, Ws)
+        xs_c = uq + d_c
+        xs_c_flat = xs_c.reshape(Hs, sc * Ws)
         ok_flat = rowgather.row_gather(
             rv.src_ok[::stride],
             jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
             interpret=interpret)
-        src_ok_c = jnp.moveaxis(ok_flat.reshape(Hs, sc, Ws), 1, 0)
+        src_ok_c = ok_flat.reshape(Hs, sc, Ws)
         # Cheirality: with the source at +x (rectify.build_rect_pair, b>0),
         # a point in front of the cameras has disparity -f*b/z < 0.
-        valid = (sub(rv.ref_ok)[None] > 0.5) & (src_ok_c > 0.5) & \
+        valid = (sub(rv.ref_ok)[:, None] > 0.5) & (src_ok_c > 0.5) & \
             (xs_c >= 0.0) & (xs_c <= Wp - 1.0) & (d_c < 0)
         vol_c = jnp.where(valid, cost_c, VOL_INVALID)
 
@@ -695,14 +702,17 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
                 rv.src_depth_rect[::stride],
                 jnp.clip(xs_c_flat, 0.0, Wp - 1).astype(jnp.int32),
                 interpret=interpret)
-            z_src = jnp.moveaxis(z_flat.reshape(Hs, sc, Ws), 1, 0)
+            z_src = z_flat.reshape(Hs, sc, Ws)
             x_back = xs_c + rv.f * rv.b / jnp.where(z_src > 0, z_src, 1e30)
-            err = jnp.minimum(jnp.abs(x_back - u[None]), GEOM_COST_MAX)
+            err = jnp.minimum(jnp.abs(x_back - uq), GEOM_COST_MAX)
             err = jnp.where((z_src > 0) & valid, err, GEOM_COST_MAX)
             gvol_c = jnp.where(valid, err, VOL_INVALID)
         else:
-            gvol_c = jnp.zeros((0, Hs, Ws), jnp.float32)
-        return None, (vol_c, valid, gvol_c)
+            gvol_c = jnp.zeros((Hs, 0, Ws), jnp.float32)
+        # Consumers take (sc, Hs, Ws).
+        return None, (jnp.moveaxis(vol_c, 1, 0),
+                      jnp.moveaxis(valid, 1, 0),
+                      jnp.moveaxis(gvol_c, 1, 0))
 
     if n_chunks == 1:
         _, (vol, valid, gvol) = chunk_body(None, jnp.int32(0))

@@ -283,8 +283,13 @@ def run_sweep_staged(
 
     sup = pm.Support(*([None] * len(pm.Support._fields)))
     if params.use_APD or params.use_edge:
-        sup, state = timed("support", _support_j, data, state, keys[0],
-                           params)
+        # jit_pieces: the support pieces dispatch as separate executables —
+        # one fused module runs ~8x slower on TPU (see sweep._PIECE_JITS).
+        sup, state = timed(
+            "support",
+            lambda d, s, k, p: sweep_mod.build_support(d, s, p, k,
+                                                       jit_pieces=True),
+            data, state, keys[0], params)
 
     state = timed("init", _init_j, data, state, params, rstat)
 

@@ -31,12 +31,36 @@ def checkerboard_mask(H: int, W: int, color: int) -> jnp.ndarray:
     return ((xg + yg) % 2) == color
 
 
+# Separately-jitted support pieces (used when jit_pieces=True): fusing the
+# whole of build_support into ONE XLA module runs ~8x slower on TPU than
+# the pieces as separate executables (round-4 weak_probe: fused 52 s vs
+# 6 s summed at 800x600x6) — the compiler rematerializes the big ray/pool
+# intermediates across the RANSAC scan when everything is one computation.
+_PIECE_JITS: dict = {}
+
+
+def _pjit(fn, static=()):
+    j = _PIECE_JITS.get((fn, tuple(static)))
+    if j is None:
+        j = jax.jit(fn, static_argnames=tuple(static))
+        _PIECE_JITS[(fn, tuple(static))] = j
+    return j
+
+
 def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
-                  key) -> pm.Support:
+                  key, jit_pieces: bool = False) -> pm.Support:
     """Per-sweep support maps (GenEdgeInform / FindNearestStrongPoint /
-    GenNeighbours equivalents)."""
+    GenNeighbours equivalents). ``jit_pieces`` dispatches each piece as its
+    own jitted executable (single-chip staged executor; see _PIECE_JITS) —
+    inside an outer trace (run_sweep_traced / shard_map) it must stay
+    False."""
     H, W = data.ref_image.shape
     max_steps = 1 << int(np.ceil(np.log2(max(H, W))))
+
+    def run(fn, *args, static=()):
+        if jit_pieces:
+            return _pjit(fn, static)(*args)
+        return fn(*args)
 
     # Support maps are built only for their actual consumers (the reference
     # similarly gates GenEdgeInform/GenNeighbours on use_edge/use_APD,
@@ -47,15 +71,22 @@ def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
     label_runs = None
     los = None
     if params.use_edge or (params.use_APD and params.use_limit):
-        edge_steps = sup_ops.edge_steps(data.edge, max_steps)
+        edge_steps = run(sup_ops.edge_steps, data.edge, max_steps,
+                         static=("max_steps",))
     if params.use_edge:
-        complexity = sup_ops.complexity_map(
-            data.edge, data.label, params.strong_radius, params.use_label)
+        complexity = run(sup_ops.complexity_map, data.edge, data.label,
+                         params.strong_radius, params.use_label,
+                         static=("radius", "use_label"))
     if params.use_APD and params.use_label:
-        label_runs = sup_ops.label_run_length(data.label, max_steps)
+        label_runs = run(sup_ops.label_run_length, data.label, max_steps,
+                         static=("max_steps",))
     if params.use_APD and params.use_limit:
         los = sup_ops.build_line_of_sight(
-            data.edge_low, W, H, params.high_res_img)
+            data.edge_low, W, H, params.high_res_img) if not jit_pieces \
+            else _pjit(sup_ops.build_line_of_sight,
+                       ("full_w", "full_h", "high_res_img"))(
+                data.edge_low, full_w=W, full_h=H,
+                high_res_img=params.high_res_img)
 
     nearest_strong = None
     neighbours = None
@@ -63,12 +94,28 @@ def build_support(data: SweepData, state: PMState, params: PatchMatchParams,
     if params.use_APD:
         from ..ops import anchors
         strong_mask = state.weak == STRONG
-        ns_coords, _ns_valid = sup_ops.jfa_nearest(strong_mask, 100.0)
+        ns_coords, _ns_valid = run(sup_ops.jfa_nearest, strong_mask, 100.0)
         nearest_strong = ns_coords
-        neighbours, reliable, weak2, complexity = anchors.gen_neighbours(
-            key, data, state, params,
-            edge_steps=edge_steps, complexity=complexity,
-            label_runs=label_runs, los=los, nearest_strong=ns_coords)
+
+        def gn(key, data, state, edge_steps, complexity, label_runs, los,
+               nearest_strong):
+            return anchors.gen_neighbours(
+                key, data, state, params,
+                edge_steps=edge_steps, complexity=complexity,
+                label_runs=label_runs, los=los,
+                nearest_strong=nearest_strong)
+
+        if jit_pieces:
+            j = _PIECE_JITS.get(("gen_neighbours", params))
+            if j is None:
+                j = jax.jit(gn)
+                _PIECE_JITS[("gen_neighbours", params)] = j
+            gn_fn = j
+        else:
+            gn_fn = gn
+        neighbours, reliable, weak2, complexity = gn_fn(
+            key, data, state, edge_steps, complexity, label_runs, los,
+            ns_coords)
         state = state._replace(weak=weak2)
     return pm.Support(
         edge_steps=edge_steps, complexity=complexity, label_runs=label_runs,

@@ -355,60 +355,75 @@ def interp_profile(prof: jnp.ndarray, srel: jnp.ndarray):
     """Linear interpolation of (*B, S, H, W) profiles along S at
     ``srel`` px (same (*B, H, W)); returns (value f32, valid bool).
 
-    The S axis is walked with one-hot selects — XLA TPU would serialize a
-    take_along_axis here."""
+    Implemented as a parallel hat-weight contraction over S: for sf between
+    probes s and s+1 the hat weights are exactly (1-f, f) — the lerp —
+    and the validity of both taps is recovered from the valid-weight sum
+    (== 1 only when every touched tap is sub-threshold). A take_along_axis
+    here would serialize on XLA TPU, and the previous 14-deep sequential
+    one-hot select chain materialized a full-size intermediate per step
+    (~0.25 s per candidate evaluation on-chip, round-4 weak_probe)."""
     sf = srel / PROBE_STEP + (PROBE_S - 1) / 2.0
     in_range = (sf >= 0.0) & (sf <= PROBE_S - 1.0)
-    s0f = jnp.clip(jnp.floor(sf), 0.0, PROBE_S - 2.0)
-    f = jnp.clip(sf - s0f, 0.0, 1.0)
-    s0 = s0f.astype(jnp.int32)
-    v0 = prof[..., 0, :, :].astype(jnp.float32)
-    v1 = prof[..., 1, :, :].astype(jnp.float32)
-    for s in range(1, PROBE_S - 1):
-        m = s0 == s
-        v0 = jnp.where(m, prof[..., s, :, :].astype(jnp.float32), v0)
-        v1 = jnp.where(m, prof[..., s + 1, :, :].astype(jnp.float32), v1)
-    val = v0 * (1.0 - f) + v1 * f
-    ok = in_range & (v0 < VALID_THRESH) & (v1 < VALID_THRESH)
-    return val, ok
+    sfc = jnp.clip(sf, 0.0, PROBE_S - 1.0)
+    val = jnp.zeros(jnp.broadcast_shapes(sfc.shape, prof.shape[:-3] +
+                                         prof.shape[-2:]), jnp.float32)
+    wv = jnp.zeros_like(val)
+    for s in range(PROBE_S):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(sfc - s))
+        p = prof[..., s, :, :].astype(jnp.float32)
+        valid_s = p < VALID_THRESH
+        val = val + jnp.where(valid_s, w * p, 0.0)
+        wv = wv + jnp.where(valid_s, w, 0.0)
+    ok = in_range & (wv > 0.9999)
+    return val / jnp.maximum(wv, 1e-9), ok
 
 
 class WeakSites(NamedTuple):
-    """Per-(sweep, color) compacted inputs of the deformable cost."""
+    """Per-(sweep, color) inputs of the deformable cost, at FULL width.
 
-    vol_center: jnp.ndarray      # (V, S, H, W2)
+    Full-width (vs the earlier per-color checkerboard compaction): the
+    S-profile volumes are the big operand, and their stride-2 lane
+    compaction cost more on-chip than the 2x elementwise evaluation it
+    saved (round-4 weak_probe: 2.3 s/color in relayouts). The caller masks
+    to the active color when writing back."""
+
+    vol_center: jnp.ndarray      # (V, S, H, W)
     vol_geom: Optional[jnp.ndarray]
-    d0: jnp.ndarray              # (V, H, W2)
-    ap: jnp.ndarray              # (V, 8, S, H, W2)
-    a_d0: jnp.ndarray            # (V, 8, H, W2)
-    cx: jnp.ndarray              # (H, W2) site coords
+    d0: jnp.ndarray              # (V, H, W)
+    ap: jnp.ndarray              # (V, 8, S, H, W)
+    a_d0: jnp.ndarray            # (V, 8, H, W)
+    cx: jnp.ndarray              # (H, W) pixel coords
     cy: jnp.ndarray
-    xr: jnp.ndarray              # (V, H, W2) site coords in each rect frame
+    xr: jnp.ndarray              # (V, H, W) pixel coords in each rect frame
     yr: jnp.ndarray
-    a_xr: jnp.ndarray            # (V, 8, H, W2) anchor coords in rect frames
+    a_xr: jnp.ndarray            # (V, 8, H, W) anchor coords in rect frames
     a_yr: jnp.ndarray
-    anchor_valid: jnp.ndarray    # (8, H, W2)
-    anchor_strong: jnp.ndarray   # (8, H, W2) anchor is STRONG
-    anchor_sel: jnp.ndarray      # (8, H, W2) uint32 selected views @ anchor
-    anchor_plane: jnp.ndarray    # (8, H, W2, 4) current plane @ anchor
+    anchor_valid: jnp.ndarray    # (8, H, W)
+    anchor_strong: jnp.ndarray   # (8, H, W) anchor is STRONG
+    anchor_sel: jnp.ndarray      # (8, H, W) uint32 selected views @ anchor
+    anchor_plane: jnp.ndarray    # (8, H, W, 4) current plane @ anchor
 
 
 def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
                      color) -> WeakSites:
-    """Compact the bundle + fresh anchor state gathers for one color.
+    """Bundle views + fresh anchor state gathers (full width; ``color`` only
+    affects the caller's writeback mask).
 
     Anchor planes/selected-views are re-gathered each iteration — the
     reference reads them live (DPE.cu:1690-1716, 2928-2945) and strong
     iterations update them between colors."""
     H, W = data.ref_image.shape
-    cx, cy = checker.sites(H, W, color)
-    anchors = checker.compact_stack(sup.neighbours, color)   # (8, H, W2, 2)
+    xg = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(H, 0)
+    yg = jnp.arange(H, dtype=jnp.int32)[:, None].repeat(W, 1)
+    cx = xg.astype(jnp.float32)
+    cy = yg.astype(jnp.float32)
+    anchors = sup.neighbours                                 # (8, H, W, 2)
     a_valid = anchors[..., 0] >= 0
-    # Invalid anchors gather from the site's own position (see
+    # Invalid anchors gather from the pixel's own position (see
     # build_weak_bundle: a clamped (0, 0) per tile wrecks the banded
     # gather's locality).
-    a_x = jnp.where(a_valid, anchors[..., 0], cx.astype(jnp.int32)[None])
-    a_y = jnp.where(a_valid, anchors[..., 1], cy.astype(jnp.int32)[None])
+    a_x = jnp.where(a_valid, anchors[..., 0], xg[None])
+    a_y = jnp.where(a_valid, anchors[..., 1], yg[None])
 
     # Fresh state at anchors: plane (4 ch) + selected (bitcast f32) +
     # weak state, one banded gather.
@@ -419,19 +434,11 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
     ], axis=-1)                                              # (H, W, 6)
     q_y = a_y.reshape(8 * H, -1)
     q_x = a_x.reshape(8 * H, -1)
-    g = sampling.gather_map(packed, q_y, q_x)                # (8H, W2, 6)
+    g = sampling.gather_map(packed, q_y, q_x)                # (8H, W, 6)
     g = g.reshape(8, H, -1, 6)
     anchor_plane = g[..., :4]
     anchor_sel = jax.lax.bitcast_convert_type(g[..., 4], jnp.uint32)
     anchor_strong = g[..., 5].astype(jnp.int32) == STRONG
-
-    comp = functools.partial(checker.compact, color=color)
-    V = bundle.d0.shape[0]
-
-    def comp_v(arr):                     # (V, *sp, H, W) -> (V, *sp, H, W2)
-        flat = arr.reshape((-1,) + arr.shape[-2:])
-        out = jax.vmap(comp)(flat[..., None])[..., 0]
-        return out.reshape(arr.shape[:-2] + out.shape[-2:])
 
     xr_l, yr_l, a_xr_l, a_yr_l = [], [], [], []
     for i, rv in enumerate(data.rect):
@@ -443,12 +450,11 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
         a_yr_l.append(ayr)
 
     return WeakSites(
-        vol_center=comp_v(bundle.vol_center),
-        vol_geom=(comp_v(bundle.vol_geom)
-                  if bundle.vol_geom is not None else None),
-        d0=comp_v(bundle.d0),
-        ap=comp_v(bundle.ap),
-        a_d0=comp_v(bundle.a_d0),
+        vol_center=bundle.vol_center,
+        vol_geom=bundle.vol_geom,
+        d0=bundle.d0,
+        ap=bundle.ap,
+        a_d0=bundle.a_d0,
         cx=cx, cy=cy,
         xr=jnp.stack(xr_l), yr=jnp.stack(yr_l),
         a_xr=jnp.stack(a_xr_l), a_yr=jnp.stack(a_yr_l),
@@ -462,8 +468,8 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
 def deformable_cost_rect(data: SweepData, sites: WeakSites,
                          plane: jnp.ndarray, params: PatchMatchParams
                          ) -> jnp.ndarray:
-    """(V, H, W2) *photometric* deformable NCC of a candidate plane field
-    at the compacted sites, through profile interpolation (semantics of
+    """(V, H, W) *photometric* deformable NCC of a candidate plane field
+    at the sites, through profile interpolation (semantics of
     ``ComputeBilateralNCCNew``, DPE.cu:557-690). The geometric term is
     separate (:func:`geom_term_rect`) — the reference adds it after view
     selection (DPE.cu:1786-1798)."""
@@ -504,7 +510,7 @@ def deformable_cost_rect(data: SweepData, sites: WeakSites,
 
 def geom_term_rect(data: SweepData, sites: WeakSites, plane: jnp.ndarray
                    ) -> jnp.ndarray:
-    """(V, H, W2) forward-backward geometric consistency of a candidate at
+    """(V, H, W) forward-backward geometric consistency of a candidate at
     the sites, from the probe volume (``ComputeGeomConsistencyCost``,
     DPE.cu:915-953)."""
     out = []
@@ -536,11 +542,11 @@ def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
 
     sites = build_weak_sites(data, sup, state, bundle, color)
     px, py = sites.cx, sites.cy
-    plane_now = checker.compact(state.plane, color)
-    selected_now = checker.compact(state.selected, color)
+    plane_now = state.plane
+    selected_now = state.selected
 
-    flags = sites.anchor_valid & sites.anchor_strong         # (8, H, W2)
-    cand_planes = sites.anchor_plane                         # (8, H, W2, 4)
+    flags = sites.anchor_valid & sites.anchor_strong         # (8, H, W)
+    cand_planes = sites.anchor_plane                         # (8, H, W, 4)
 
     cost_array = jax.lax.map(
         lambda pl_: deformable_cost_rect(data, sites, pl_, params),
@@ -593,7 +599,7 @@ def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
 
     # Refinement (PlaneHypothesisRefinementWeak, DPE.cu:1120-1212): the
     # RANSAC fit plane first, then the 5 perturbation combos.
-    fit = checker.compact(sup.fit_plane, color)
+    fit = sup.fit_plane
     fit_nonzero = jnp.any(fit[..., :3] != 0.0, axis=-1)
     c_fit = eval_weighted(fit)
     d_fit = geo.depth_from_plane(data.ref_cam, fit, px, py)
@@ -627,14 +633,21 @@ def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
 
     # Re-express the stored cost with the standard strong NCC (full field,
     # masked later) so weak and strong costs are comparable during
-    # propagation (DPE.cu:1845-1861).
-    plane_full = checker.scatter(state.plane, plane, color)
+    # propagation (DPE.cu:1845-1861). Only the active color's sites will be
+    # written back — evaluate the field the writeback would store.
+    from ..engine.sweep import checkerboard_mask
+    cmask = checkerboard_mask(H, W, color)
+    plane_full = jnp.where(cmask[..., None], plane, state.plane)
     offs = pm.strong_offsets(params)
-    final_vec_full = rectcost.rect_cost_vector(
+    final_vec = rectcost.rect_cost_vector(
         data.rect, rstat, plane_full, data.view_valid, params, offs,
         geom=False)                                          # (V, H, W)
-    final_vec = checker.compact_stack(final_vec_full, color)
     final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
     final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
 
-    return plane, final_cost, selected, view_weight
+    # Contract: compacted per-color outputs (caller scatters + masks).
+    return (checker.compact(plane, color),
+            checker.compact(final_cost, color),
+            checker.compact(selected, color),
+            jnp.moveaxis(checker.compact(
+                jnp.moveaxis(view_weight, 0, -1), color), -1, 0))

@@ -296,17 +296,21 @@ class LineOfSight(NamedTuple):
         bin_ba = (bin_ab + 8) % 16
 
         Hl, Wl = self.free_dist.shape[1:]
-        # Fold the 16 direction planes into rows so the whole lookup is one
-        # banded 2-D gather (TPU) / one XLA gather (CPU) — see
-        # ops/sampling.gather_map.
-        stacked = self.free_dist.reshape(16 * Hl, Wl)
+        # Gather ALL 16 direction planes as channels at the (spatially
+        # local) endpoint coordinates, then one-hot-pick the segment's bin.
+        # Folding the bin into the gather ROW (bin*Hl + iy) mixed arbitrary
+        # bins inside every (8, 128) query tile and blew the banded
+        # kernel's row band up to the whole stacked image; channels share
+        # the band computation and masks, so 16 channels cost far less
+        # than a 16x-taller band.
+        chan = jnp.moveaxis(self.free_dist, 0, -1)           # (Hl, Wl, 16)
 
         def free_at(b, x, y):
             from . import sampling
             ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wl - 1)
             iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hl - 1)
-            return sampling.gather_map(stacked, b.astype(jnp.int32) * Hl + iy,
-                                       ix)
+            f16 = sampling.gather_map(chan, iy, ix)          # (..., 16)
+            return sampling.pick_last(f16, b.astype(jnp.int32))
 
         fa = free_at(bin_ab, lx_a, ly_a)
         fb = free_at(bin_ba, lx_b, ly_b)

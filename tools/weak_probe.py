@@ -130,20 +130,31 @@ def main() -> int:
     neighbours, reliable, weak2, cx2 = timed(
         "gen_neighbours", gn, key, data, st0, es, cx, lr, los, ns)
 
+    # The fused stage for comparison (the pipeline's actual executable).
+    def support_fused(d, s, k):
+        from dpe_mvs_tpu.engine import sweep as sweep_mod
+        return sweep_mod.build_support(d, s, params, k)
+
+    timed("FUSED _support stage", support_fused, data, st0,
+          jax.random.key(7))
+
     print("--- weak-iter pieces", flush=True)
     sup = pm.Support(edge_steps=es, complexity=cx2, label_runs=lr, los=los,
                      nearest_strong=ns, neighbours=neighbours, radius=None,
                      fit_plane=None)
 
-    # Mid-sweep state layout (plane in cam frame): run init.
+    # Mid-sweep state layout (plane in cam frame): run init (donates its
+    # state input — hand it a copy).
     from dpe_mvs_tpu.engine.stages import _init_j
-    st1 = _init_j(data, st0._replace(weak=weak2, key=key), params, rstat)
+    st_in = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                         st0._replace(weak=weak2, key=jax.random.key(5)))
+    st1 = _init_j(data, st_in, params, rstat)
     sync(st1.plane)
 
     fp = timed("fit_plane_ransac",
                lambda k, d, s: weak_ops.fit_plane_ransac(k, d, sup, s,
                                                          params),
-               key, data, st1)
+               jax.random.key(2), data, st1)
     sup_it = sup._replace(**fp)
 
     bundle = _weakprep_j(data, sup, st1, params, rstat)
@@ -180,8 +191,9 @@ def main() -> int:
           data, plane_full)
 
     timed("full weak_iter", lambda d, s: __import__(
-        "dpe_mvs_tpu.engine.stages", fromlist=["x"])._weak_j(
-            d, sup, s, jnp.int32(0), key, params, rstat, bundle),
+        "dpe_mvs_tpu.engine.stages", fromlist=["x"])._weak_iter(
+            d, sup, s, jnp.int32(0), jax.random.key(3), params, rstat,
+            bundle),
         data, st1)
     return 0
 
