@@ -1,25 +1,29 @@
 """JAX runtime configuration helpers.
 
 Compilation in this project is the dominant fixed cost (a full sweep is a
-large traced program, and backend compile latency is highly variable), so
-the persistent compilation cache is enabled **by default on the CPU
-backend** (measured: second process of the same sweep compiles in 2.6 s vs
-9.9 s cold — the cache is what keeps the test suite's compile storms
-bounded across reruns).
+large traced program, and backend compile latency is highly variable). The
+persistent compilation cache helps — measured on CPU: the second process
+of the same sweep compiles in 2.6 s vs 9.9 s cold — but it is **opt-in**
+(``DPE_MVS_TPU_CACHE=<dir>``) because both backends have disqualifying
+bugs when it is on by default:
 
-On the TPU (axon) backend the cache stays **opt-in** via
-``DPE_MVS_TPU_CACHE=<dir>``: reloading executables whose large embedded
-constants were hoisted to parameters has tripped a "supplied N buffers but
-expected M" execution error there (rounds 1-3). Set the env var to try it;
-unset, TPU processes compile from scratch.
+- TPU (axon): reloading executables whose large embedded constants were
+  hoisted to parameters trips a "supplied N buffers but expected M"
+  execution error (rounds 1-3).
+- CPU: serializing executables that contain interpret-mode Pallas calls
+  (the test suite's kernel path) segfaults inside
+  ``compilation_cache.put_executable_and_time`` — reproduced
+  deterministically at tests/test_pipeline.py::test_pipeline_rect_engine's
+  weak stage (round 4, suite runs 1+2).
+
+Set the env var only for pure-XLA workloads (e.g. repeated CPU pipeline
+runs without the rect engine).
 """
 from __future__ import annotations
 
 import os
 
 _DONE = False
-
-_DEFAULT_CPU_CACHE = os.path.expanduser("~/.cache/dpe_mvs_tpu/xla")
 
 
 def setup(cache_dir: str | None = None) -> None:
@@ -30,13 +34,6 @@ def setup(cache_dir: str | None = None) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get("DPE_MVS_TPU_CACHE")
-    if not cache_dir:
-        # Default-on only where it is known-safe (see module docstring).
-        try:
-            if jax.default_backend() == "cpu":
-                cache_dir = _DEFAULT_CPU_CACHE
-        except Exception:
-            return
     if not cache_dir:
         return
     try:

@@ -85,9 +85,13 @@ def main() -> int:
     def sync_tree(t):
         outs = []
         for leaf in jax.tree.leaves(t):
-            if hasattr(leaf, "dtype"):
+            if not hasattr(leaf, "dtype"):
+                continue
+            try:
                 outs.append(jnp.sum(leaf.astype(jnp.float32)
                                     if leaf.dtype == jnp.bool_ else leaf))
+            except TypeError:
+                pass  # PRNG key leaves etc.
         for x in outs:
             np.asarray(jax.device_get(x))
 
@@ -110,8 +114,11 @@ def main() -> int:
         print(f"  {name:28s} compile+1 {tc:7.2f}s  steady {min(ts):7.3f}s",
               flush=True)
 
-    sup, st1 = stages._support_stage(data, st0, jax.random.key(7), params)
-    jax.tree.map(lambda x: x if x is None else jax.block_until_ready(x), sup)
+    # jit_pieces: eager build_support would pay hundreds of per-op axon
+    # compiles.
+    sup, st1 = sweep_mod.build_support(data, st0, params, jax.random.key(7),
+                                       jit_pieces=True)
+    sync_tree(sup)
     st1 = stages._init_j(
         data, jax.tree.map(lambda x: x.copy(), st1), params, rstat)
     bundle = stages._weakprep_j(data, sup, st1, params, rstat)
@@ -130,23 +137,25 @@ def main() -> int:
             setattr(obj, name, old)
 
     def run_variant(name, ctx=None):
-        def f(d, s):
-            return stages._weak_iter(d, sup, s, jnp.int32(0),
-                                     jax.random.key(3), params, rstat,
-                                     bundle)
+        # sup/bundle MUST be jit arguments: closing over them embeds ~900 MB
+        # of constants in the module and the remote compile service rejects
+        # the upload (HTTP 413).
+        def f(d, sup_, s, b):
+            return stages._weak_iter(d, sup_, s, jnp.int32(0),
+                                     jax.random.key(3), params, rstat, b)
         if ctx is None:
             from contextlib import nullcontext
             ctx = nullcontext()
         with ctx:
             jf = jax.jit(f)
             t0 = time.time()
-            out = jf(data, st1)
+            out = jf(data, sup, st1, bundle)
             sync(out)
             tc = time.time() - t0
             ts = []
             for _ in range(2):
                 t0 = time.time()
-                out = jf(data, st1)
+                out = jf(data, sup, st1, bundle)
                 sync(out)
                 ts.append(time.time() - t0)
         print(f"  {name:28s} compile+1 {tc:7.2f}s  steady {min(ts):7.3f}s",
