@@ -15,8 +15,9 @@ asserted by tests/test_stages.py — as a handful of separately-jitted stages:
 
 The iteration index ``it`` and all PRNG keys enter as device values, so one
 compiled strong-iter executable serves every iteration of every sweep with
-the same (shape, params) signature. Stages donate their state input, keeping
-peak HBM at one live copy of the mutable state.
+the same (shape, params) signature. Stages do NOT donate their inputs — see
+the note above the jit definitions (donation ran ~10x slower on the axon
+backend).
 """
 from __future__ import annotations
 
@@ -170,25 +171,23 @@ def _refine_stage(data: SweepData, state: PMState, params: PatchMatchParams,
 
 # ---------------------------------------------------------------------------
 # Jitted entry points. jax.jit caches per (shape signature, params), so these
-# module-level wrappers are the executable cache. State inputs are donated
-# in the iteration/post stages (their input state is always a dead temporary
-# produced by the previous stage).
+# module-level wrappers are the executable cache.
 # ---------------------------------------------------------------------------
 
+# NO donate_argnums on any stage: donating the state input made the axon
+# backend run the SAME executables ~10x slower (round-4 ablation: the weak
+# iter is 0.99 s as a clean jit vs 12.5 s as the donating _weak_j; support
+# 2.35 s vs 26.5 s). The donation saved one ~100 MB state copy per stage —
+# negligible next to that. (It also implicates donation in the
+# order-dependent XLA:CPU compile abort at test_pipeline_rect_engine.)
 _support_j = jax.jit(_support_stage, static_argnames=("params",))
-_init_j = jax.jit(_init_stage, static_argnames=("params", "rstat"),
-                  donate_argnums=(1,))
+_init_j = jax.jit(_init_stage, static_argnames=("params", "rstat"))
 _weakprep_j = jax.jit(_weakprep_stage, static_argnames=("params", "rstat"))
-_strong_j = jax.jit(_strong_iter, static_argnames=("params", "rstat"),
-                    donate_argnums=(2,))
-_weak_j = jax.jit(_weak_iter, static_argnames=("params", "rstat"),
-                  donate_argnums=(2,))
-_finish_j = jax.jit(_finish_stage, static_argnames=("params",),
-                    donate_argnums=(1,))
-_classify_j = jax.jit(_classify_stage, static_argnames=("params", "rstat"),
-                      donate_argnums=(1,))
-_refine_j = jax.jit(_refine_stage, static_argnames=("params", "rstat"),
-                    donate_argnums=(1,))
+_strong_j = jax.jit(_strong_iter, static_argnames=("params", "rstat"))
+_weak_j = jax.jit(_weak_iter, static_argnames=("params", "rstat"))
+_finish_j = jax.jit(_finish_stage, static_argnames=("params",))
+_classify_j = jax.jit(_classify_stage, static_argnames=("params", "rstat"))
+_refine_j = jax.jit(_refine_stage, static_argnames=("params", "rstat"))
 
 STAGES = {
     "support": _support_j,
@@ -275,11 +274,6 @@ def run_sweep_staged(
             out = fn(*args)
             _hard_sync(out)
         return out
-
-    # The donated stages would invalidate the caller's state buffers; copy
-    # once up front so the caller keeps ownership of its input.
-    state = jax.tree.map(
-        lambda x: x.copy() if hasattr(x, "copy") else x, state)
 
     sup = pm.Support(*([None] * len(pm.Support._fields)))
     if params.use_APD or params.use_edge:

@@ -62,7 +62,9 @@ def _reinit_exec(use_weak: bool):
             key=keys,
         )
 
-    return jax.jit(reinit, donate_argnums=(0,))
+    # No donation: donating ran ~10x slower on the axon backend
+    # (see engine/stages.py).
+    return jax.jit(reinit)
 
 
 class ParallelRunner:
