@@ -20,6 +20,14 @@ The TPU execution path of ``CheckerboardPropagationStrong``
 Edge-bounded candidate mode (use_edge, DPE.cu:1242-1343) additionally
 quantizes the per-pixel step length to the nearest of a small static set so
 its probes become static shifts too.
+
+Per-field evaluation (one rect_cost_vector per candidate field) is kept
+over the batched volume form (rectcost.batched_cost_fields): measured
+on-chip in round 4, per-field runs the FIRST_INIT strong iteration at
+3x0.73 s vs 3x1.16 s batched at 800x600x6 — the volume machinery's extra
+layout passes cost more than the 14x-shared ref sums save at these
+shapes. The volume form remains the right structure for the
+many-probe stages (classify, weakprep probe volumes).
 """
 from __future__ import annotations
 
@@ -272,29 +280,19 @@ def initialize_rect(data: SweepData, state: PMState,
 
 
 def refine_strong_rect(key, data: SweepData, params: PatchMatchParams,
-                       rstat, plane, depth, cost, view_weight,
+                       cost_fn, plane, depth, cost, view_weight,
                        weight_norm):
-    """``PlaneHypothesisRefinementStrong`` (DPE.cu:1065-1118), full-res.
-
-    All 5 perturbation candidates are known before any cost evaluation
-    (refine_combos derives them from the pre-refinement plane), so their
-    costs ride ONE batched volume pass; only the accept logic — where
-    combo i+1 compares against the cost updated by combo i — stays a
-    sequential elementwise scan."""
+    """``PlaneHypothesisRefinementStrong`` (DPE.cu:1065-1118), full-res."""
     px, py = geo.pixel_grid(*data.ref_image.shape)
     depths, normals = pm.refine_combos(key, data, plane, depth, px, py)
     wsum = jnp.maximum(weight_norm, 1e-30)
 
-    cands = jax.vmap(
-        lambda d_i, n_i: geo.plane_from_depth_normal(
-            data.ref_cam, px, py, d_i, n_i))(depths, normals)  # (5, H, W, 4)
-    costs_v = rectcost.batched_cost_fields(
-        data, rstat, cands, params, geom=params.geom_consistency)
-    c_all = jnp.sum(view_weight[None] * costs_v, axis=1) / wsum[None]
-
     def body(carry, xs):
         plane, depth, cost = carry
-        cand, c = xs
+        d_i, n_i = xs
+        cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i, n_i)
+        costs = cost_fn(cand)
+        c = jnp.sum(view_weight * costs, axis=0) / wsum
         d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
         ok = (d_chk >= data.depth_min) & (d_chk <= data.depth_max) & \
             (c < cost) & (weight_norm > 0)
@@ -304,7 +302,7 @@ def refine_strong_rect(key, data: SweepData, params: PatchMatchParams,
         return (plane, depth, cost), None
 
     (plane, depth, cost), _ = jax.lax.scan(body, (plane, depth, cost),
-                                           (cands, c_all))
+                                           (depths, normals))
     return plane, depth, cost
 
 
@@ -316,6 +314,7 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     H, W = data.ref_image.shape
     nview = data.num_src
     k_sel, k_ref = jax.random.split(key)
+    cost_fn = make_cost_fn(data, params, rstat)
 
     plane_now = state.plane
     selected_now = state.selected
@@ -323,32 +322,17 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     if params.use_edge:
         flags, cand_planes = edge_candidate_planes(
             state.cost, state.plane, data.edge, sup.edge_steps, it)
-        f2, p2 = second_pass_candidate_planes(state.cost, state.plane, it)
-        # One batched volume pass for all 17 plane fields (8 edge
-        # candidates + 8 second-pass candidates + the current plane): the
-        # ref-side NCC sums and bilateral weights are computed once per
-        # view instead of 17x, and the source gathers ride fat launches.
-        all_costs = rectcost.batched_cost_fields(
-            data, rstat, jnp.concatenate(
-                [cand_planes, p2, plane_now[None]], axis=0),
-            params, geom=params.geom_consistency)            # (17, V, H, W)
-        cost_array = all_costs[:8]
-        c2 = all_costs[8:16]
-        cost_now_vec = all_costs[16]
     else:
         flags, cand_planes = classic_candidate_planes(state.cost, state.plane)
-        all_costs = rectcost.batched_cost_fields(
-            data, rstat, jnp.concatenate(
-                [cand_planes, plane_now[None]], axis=0),
-            params, geom=params.geom_consistency)            # (9, V, H, W)
-        cost_array = all_costs[:8]
-        cost_now_vec = all_costs[8]
 
+    cost_array = jax.lax.map(cost_fn, cand_planes)          # (8, V, H, W)
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
     if params.use_edge:
         itf = jnp.asarray(it, jnp.float32)
         good_thr = 0.8 * jnp.exp(itf * itf / -90.0)
+        f2, p2 = second_pass_candidate_planes(state.cost, state.plane, it)
+        c2 = jax.lax.map(cost_fn, p2)
         good1 = jnp.sum(cost_array < good_thr, axis=1)
         bad1 = jnp.sum(cost_array > 1.2, axis=1)
         c2m = jnp.where(f2[:, None], c2, COST_MAX)
@@ -371,6 +355,7 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     min_cost = _select_k(final_costs, min_idx)
     min_plane = _select_k(cand_planes, min_idx)
 
+    cost_now_vec = cost_fn(plane_now)
     cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum
     cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
     stored_cost = cost_now
@@ -387,7 +372,7 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     selected = jnp.where(accept, temp_selected, selected_now)
 
     plane, depth, cost = refine_strong_rect(
-        k_ref, data, params, rstat, plane, depth, cost, view_weight,
+        k_ref, data, params, cost_fn, plane, depth, cost, view_weight,
         weight_norm)
 
     if params.state == RunState.REFINE_INIT:
