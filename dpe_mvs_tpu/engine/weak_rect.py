@@ -396,8 +396,12 @@ class WeakSites(NamedTuple):
     cy: jnp.ndarray
     xr: jnp.ndarray              # (V, H, W) pixel coords in each rect frame
     yr: jnp.ndarray
-    a_xr: jnp.ndarray            # (V, 8, H, W) anchor coords in rect frames
-    a_yr: jnp.ndarray
+    # Anchor pixel coords (ORIG grid, int32); their per-view rect-frame
+    # coords are recomputed on the fly in deformable_cost_rect — storing
+    # the (V, 8, H, W) f32 stacks cost 614 MB at 1600x1200 (OOMed the
+    # weak iteration there).
+    a_x: jnp.ndarray             # (8, H, W) int32
+    a_y: jnp.ndarray
     anchor_valid: jnp.ndarray    # (8, H, W)
     anchor_strong: jnp.ndarray   # (8, H, W) anchor is STRONG
     anchor_sel: jnp.ndarray      # (8, H, W) uint32 selected views @ anchor
@@ -440,14 +444,11 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
     anchor_sel = jax.lax.bitcast_convert_type(g[..., 4], jnp.uint32)
     anchor_strong = g[..., 5].astype(jnp.int32) == STRONG
 
-    xr_l, yr_l, a_xr_l, a_yr_l = [], [], [], []
+    xr_l, yr_l = [], []
     for i, rv in enumerate(data.rect):
         xr, yr = _anchor_rect_coords(rv, cx, cy)
         xr_l.append(xr)
         yr_l.append(yr)
-        axr, ayr = _anchor_rect_coords(rv, a_x, a_y)
-        a_xr_l.append(axr)
-        a_yr_l.append(ayr)
 
     return WeakSites(
         vol_center=bundle.vol_center,
@@ -457,7 +458,7 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
         a_d0=bundle.a_d0,
         cx=cx, cy=cy,
         xr=jnp.stack(xr_l), yr=jnp.stack(yr_l),
-        a_xr=jnp.stack(a_xr_l), a_yr=jnp.stack(a_yr_l),
+        a_x=a_x, a_y=a_y,
         anchor_valid=a_valid,
         anchor_strong=anchor_strong,
         anchor_sel=anchor_sel,
@@ -482,9 +483,11 @@ def deformable_cost_rect(data: SweepData, sites: WeakSites,
         d_c = jnp.where(jnp.isfinite(d_c), d_c, BIG)
         c0, ok_c = interp_profile(sites.vol_center[i], d_c - sites.d0[i])
 
-        # Anchor windows: candidate's disparity evaluated at each anchor.
-        d_a = gx[None] * (sites.a_xr[i] - rv.cx) + \
-            gy[None] * (sites.a_yr[i] - rv.cy) + g0[None]    # (8, H, W2)
+        # Anchor windows: candidate's disparity evaluated at each anchor
+        # (anchor rect coords recomputed per view — see WeakSites).
+        a_xr, a_yr = _anchor_rect_coords(rv, sites.a_x, sites.a_y)
+        d_a = gx[None] * (a_xr - rv.cx) + \
+            gy[None] * (a_yr - rv.cy) + g0[None]             # (8, H, W)
         d_a = jnp.where(jnp.isfinite(d_a), d_a, BIG)
         val_a, ok_a = interp_profile(sites.ap[i], d_a - sites.a_d0[i])
         sel_here = ((sites.anchor_sel >> jnp.uint32(i)) & 1) == 1
@@ -565,13 +568,21 @@ def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
 
     if geom:
         # Geom is excluded from view selection and added to the final
-        # weighted costs (DPE.cu:1786-1798).
-        geom_rows = jax.lax.map(
-            lambda pl_: geom_term_rect(data, sites, pl_), cand_planes)
-        geom_rows = jnp.where(flags[:, None], geom_rows, GEOM_COST_MAX)
-        cost_array = cost_array + params.geom_factor * geom_rows
+        # weighted costs (DPE.cu:1786-1798). Fold it into the per-candidate
+        # weighted reduction instead of materializing a second
+        # (8, V, H, W) volume (307 MB at 1600x1200).
+        def fin(args):
+            c_k, pl_k, fl_k = args
+            g_k = jnp.where(fl_k[None],
+                            geom_term_rect(data, sites, pl_k),
+                            GEOM_COST_MAX)
+            return jnp.sum(view_weight * (c_k + params.geom_factor * g_k),
+                           axis=0) / wsum
 
-    final_costs = jnp.sum(view_weight[None] * cost_array, axis=1) / wsum[None]
+        final_costs = jax.lax.map(fin, (cost_array, cand_planes, flags))
+    else:
+        final_costs = jnp.sum(view_weight[None] * cost_array,
+                              axis=1) / wsum[None]
     min_idx = jnp.argmin(final_costs, axis=0)
     min_flag = strong_rect._select_k(flags, min_idx)
     min_cost = strong_rect._select_k(final_costs, min_idx)
