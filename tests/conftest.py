@@ -52,14 +52,33 @@ def pytest_collection_modifyitems(config, items):
         elif RUN_TPU and "tpu" not in item.keywords:
             item.add_marker(skip_cpu)
 
-    # Run the pipeline e2e modules FIRST: compiling their big XLA modules
+    # Run the heavy e2e modules FIRST: compiling their big XLA modules
     # after ~60 other tests' compiles segfaults/aborts inside XLA:CPU
     # backend_compile (order-dependent compiler-state bug — reproduced at
-    # suite position 67 across three code revisions; every module passes
-    # in isolation and at the front).
-    front = [it for it in items if "test_pipeline" in it.nodeid]
-    rest = [it for it in items if "test_pipeline" not in it.nodeid]
-    items[:] = front + rest
+    # suite positions 64-67 across four code revisions, always at the
+    # largest late compile; every module passes in isolation and at the
+    # front).
+    heavy = ("test_pipeline", "test_parallel", "test_multihost")
+
+    def rank(it):
+        for i, name in enumerate(heavy):
+            if name in it.nodeid:
+                return i
+        return len(heavy)
+
+    items.sort(key=rank)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between modules: bounds the cumulative
+    XLA:CPU compiler state implicated in the mid-suite segfault (see
+    pytest_collection_modifyitems) and the suite's memory footprint."""
+    yield
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
 
 
 @pytest.fixture
