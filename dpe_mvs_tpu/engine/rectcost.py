@@ -756,10 +756,12 @@ def batched_cost_fields(data, statics, planes: jnp.ndarray,
     launches; exact per-center window warps (same formula as ncc_rect_one —
     no probe-lattice approximation).
 
-    planes: (S, H, W, 4). The strong propagation (DPE.cu:1214-1666)
-    evaluates ~14 plane fields per color iteration; evaluating them through
-    one volume pass removes the 14x-recomputed ref sums and 14x dispatch
-    trains (wired into strong_rect.propagate_strong_rect)."""
+    planes: (S, H, W, 4). NOT used by the strong propagation: measured
+    on-chip (round 4), per-field evaluation runs the strong iteration
+    1.6x faster than this volume form at working shapes (see
+    strong_rect's module docstring), so this remains the reference
+    batched form (exercised by tests/test_weak_rect.py) and the probe
+    machinery uses _sweep_ncc_volume directly."""
     S, H, W = planes.shape[:3]
     offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
     out = []
