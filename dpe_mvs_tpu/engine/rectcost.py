@@ -442,47 +442,35 @@ def ncc_rect_one(
     inv_2ss = 1.0 / (2.0 * sigma_spatial * sigma_spatial)
     inv_2sc = 1.0 / (2.0 * sigma_color * sigma_color)
 
-    # ALL window rows ride ONE row-gather launch: the oy-shifted source
-    # rows stack along the row axis (rows are independent in the kernel)
-    # and each oy contributes its k x-offset query blocks. Per-launch
-    # fixed cost was ~half of a per-(field, view) evaluation when this
-    # was 6 launches (round-4 profile).
-    xs_rows, ref_all, w_all, ks = [], [], [], []
     for oy in oys:
         oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
-        xs_list = []
+        src_row = _shift2(rv.src_rect, int(oy), 0)
+        # Batch this row's samples into one row-gather launch along L.
+        xs_list, ref_list, w_list = [], [], []
         for ox in oxs:
             us = u + ox
             vs = v + oy
             xs = us + gx * (us - rv.cx) + gy * (vs - rv.cy) + g0
             xs_list.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
             ref_s = _shift2(rv.ref_rect, int(oy), int(ox))
-            ref_all.append(ref_s)
+            ref_list.append(ref_s)
             spatial = float(np.sqrt(ox * ox + oy * oy))
-            w_all.append(jnp.exp(-spatial * inv_2ss
-                                 - jnp.abs(ref_s - ref_c) * inv_2sc))
-        xs_rows.append(jnp.concatenate(xs_list, axis=1))     # (Hp, k*Wp)
-        ks.append(len(oxs))
-    k_max = max(ks)
-    assert all(k == k_max for k in ks), "offset grid must be rectangular"
-    src_stack = jnp.concatenate(
-        [_shift2(rv.src_rect, int(oy), 0) for oy in oys], axis=0)
-    xs_all = jnp.concatenate(xs_rows, axis=0)                # (n_oy*Hp, k*Wp)
-    src_all = rowgather.bilinear_x(src_stack, xs_all, interpret=interpret)
-    src_all = src_all.reshape(len(oys), Hp, k_max, Wp)
-    idx = 0
-    for a, oy in enumerate(oys):
-        for j in range(ks[a]):
-            w = w_all[idx]
-            r = ref_all[idx]
-            s = src_all[a, :, j]
+            w_list.append(jnp.exp(-spatial * inv_2ss
+                                  - jnp.abs(ref_s - ref_c) * inv_2sc))
+        xs_cat = jnp.concatenate(xs_list, axis=1)            # (Hp, k*Wp)
+        src_cat = rowgather.bilinear_x(src_row, xs_cat, interpret=interpret)
+        k = len(oxs)
+        src_s = src_cat.reshape(Hp, k, Wp)
+        for j in range(k):
+            w = w_list[j]
+            r = ref_list[j]
+            s = src_s[:, j]
             sum_w = sum_w + w
             sum_ref = sum_ref + w * r
             sum_ref2 = sum_ref2 + w * r * r
             sum_src = sum_src + w * s
             sum_src2 = sum_src2 + w * s * s
             sum_rs = sum_rs + w * r * s
-            idx += 1
 
     inv_w = 1.0 / sum_w
     m_ref = sum_ref * inv_w
@@ -661,11 +649,6 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
         sum_src = jnp.zeros((Hs, sc, Ws), jnp.float32)
         sum_src2 = jnp.zeros((Hs, sc, Ws), jnp.float32)
         sum_rs = jnp.zeros((Hs, sc, Ws), jnp.float32)
-        # One gather launch per chunk: every oy's query block stacks along
-        # the row axis against the stacked oy-shifted source rows (rows
-        # are independent in the kernel; per-launch fixed cost dominated
-        # the per-oy formulation).
-        xs_rows = []
         for oy in oys:
             oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
             k = len(oxs)
@@ -675,17 +658,14 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
                 (gys_t * (vq + (oy - rv.cy)))[:, :, None] + \
                 g0s_t[:, :, None]                            # (Hs, sc, k, Ws)
             xs4 = jnp.where(jnp.isfinite(xs4), xs4, 0.0)
-            xs_rows.append(xs4.reshape(Hs, sc * k * Ws))
-        src_all = rowgather.bilinear_x(
-            jnp.concatenate([src_by_oy[oy] for oy in oys], axis=0),
-            jnp.concatenate(xs_rows, axis=0),
-            interpret=interpret)                      # (n_oy*Hs, sc*k*Ws)
-        src_all = src_all.reshape(len(oys), Hs, sc, k, Ws)
-        for a, oy in enumerate(oys):
+            src = rowgather.bilinear_x(src_by_oy[oy],
+                                       xs4.reshape(Hs, sc * k * Ws),
+                                       interpret=interpret)
+            src = src.reshape(Hs, sc, k, Ws)
             for j in range(k):
                 w = ws_by_oy[oy][j]                          # (Hs, Ws)
                 r = refs_by_oy[oy][j]
-                s_j = src_all[a, :, :, j]                    # (Hs, sc, Ws)
+                s_j = src[:, :, j]                           # (Hs, sc, Ws)
                 sum_src = sum_src + w[:, None] * s_j
                 sum_src2 = sum_src2 + w[:, None] * s_j * s_j
                 sum_rs = sum_rs + (w * r)[:, None] * s_j
@@ -761,7 +741,10 @@ def batched_cost_fields(data, statics, planes: jnp.ndarray,
     1.6x faster than this volume form at working shapes (see
     strong_rect's module docstring), so this remains the reference
     batched form (exercised by tests/test_weak_rect.py) and the probe
-    machinery uses _sweep_ncc_volume directly."""
+    machinery uses _sweep_ncc_volume directly. (A one-launch oy-stacked
+    gather variant was also tried and reverted: the stacked-source and
+    stacked-query concats cost more than the 5 saved launches — strong
+    0.76 -> 0.96 s/iter, bench r4 try 3.)"""
     S, H, W = planes.shape[:3]
     offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
     out = []
