@@ -533,20 +533,116 @@ def geom_term_rect(data: SweepData, sites: WeakSites, plane: jnp.ndarray
 # Weak checkerboard propagation (CheckerboardPropagationWeak, DPE.cu:1668)
 # ---------------------------------------------------------------------------
 
+def _weak_band_count(H: int, W: int) -> int:
+    """Row-band count for the weak proposal body: bounds its transients
+    (the (8, V, Hb, W) candidate volumes and eval trees) to roughly one
+    800x600 frame's worth — the full-width body RESOURCE_EXHAUSTed at
+    1600x1200 alongside the 2.5 GB anchor-profile bundle. Returns the
+    smallest divisor of H that caps Hb*W near 500k pixels."""
+    want = -(-(H * W) // 500_000)
+    if want <= 1:
+        return 1
+    for nb in range(want, H + 1):
+        if H % nb == 0:
+            return nb
+    return 1
+
+
+def _slice_sites(sites: "WeakSites", b, hb: int) -> "WeakSites":
+    """Row band [b*hb, (b+1)*hb) of every per-site field (all the profile
+    volumes are site-indexed, so banding is a clean slice)."""
+    def sl(a, ax):
+        return jax.lax.dynamic_slice_in_dim(a, b * hb, hb, axis=ax)
+
+    return WeakSites(
+        vol_center=sl(sites.vol_center, 2),
+        vol_geom=(sl(sites.vol_geom, 2)
+                  if sites.vol_geom is not None else None),
+        d0=sl(sites.d0, 1),
+        ap=sl(sites.ap, 3),
+        a_d0=sl(sites.a_d0, 2),
+        cx=sl(sites.cx, 0), cy=sl(sites.cy, 0),
+        xr=sl(sites.xr, 1), yr=sl(sites.yr, 1),
+        a_x=sl(sites.a_x, 1), a_y=sl(sites.a_y, 1),
+        anchor_valid=sl(sites.anchor_valid, 1),
+        anchor_strong=sl(sites.anchor_strong, 1),
+        anchor_sel=sl(sites.anchor_sel, 1),
+        anchor_plane=sl(sites.anchor_plane, 1),
+    )
+
+
 def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
                         params: PatchMatchParams, it, color, rstat,
                         bundle: WeakRectBundle):
     """One color's weak-pixel proposal on the rect engine; same contract as
-    ops/weak.propagate_weak (compacted outputs, caller scatters + masks)."""
+    ops/weak.propagate_weak (compacted outputs, caller scatters + masks).
+
+    At working sizes the proposal body runs full-width in one piece; at
+    full-resolution sizes it runs as a lax.map over row bands
+    (_weak_band_count) so its transients stay bounded."""
     H, W = data.ref_image.shape
-    nview = data.num_src
-    k_sel, k_ref = jax.random.split(key)
     geom = params.geom_consistency
 
     sites = build_weak_sites(data, sup, state, bundle, color)
-    px, py = sites.cx, sites.cy
     plane_now = state.plane
     selected_now = state.selected
+
+    nb = _weak_band_count(H, W)
+    if nb == 1:
+        plane, selected, view_weight, weight_norm = _weak_body(
+            key, data, sites, plane_now, selected_now, sup.fit_plane,
+            params, it)
+    else:
+        hb = H // nb
+        nview = data.num_src
+
+        def band(b):
+            s_b = _slice_sites(sites, b, hb)
+            pn = jax.lax.dynamic_slice_in_dim(plane_now, b * hb, hb, 0)
+            sn = jax.lax.dynamic_slice_in_dim(selected_now, b * hb, hb, 0)
+            fp = jax.lax.dynamic_slice_in_dim(sup.fit_plane, b * hb, hb, 0)
+            return _weak_body(jax.random.fold_in(key, b), data, s_b, pn,
+                              sn, fp, params, it)
+
+        pl_b, sel_b, vw_b, wn_b = jax.lax.map(band, jnp.arange(nb))
+        plane = pl_b.reshape(H, W, 4)
+        selected = sel_b.reshape(H, W)
+        view_weight = jnp.moveaxis(vw_b, 0, 1).reshape(nview, H, W)
+        weight_norm = wn_b.reshape(H, W)
+
+    wsum = jnp.maximum(weight_norm, 1e-30)
+
+    # Re-express the stored cost with the standard strong NCC (full field,
+    # masked later) so weak and strong costs are comparable during
+    # propagation (DPE.cu:1845-1861). Only the active color's sites will be
+    # written back — evaluate the field the writeback would store.
+    from ..engine.sweep import checkerboard_mask
+    cmask = checkerboard_mask(H, W, color)
+    plane_full = jnp.where(cmask[..., None], plane, state.plane)
+    offs = pm.strong_offsets(params)
+    final_vec = rectcost.rect_cost_vector(
+        data.rect, rstat, plane_full, data.view_valid, params, offs,
+        geom=False)                                          # (V, H, W)
+    final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
+    final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
+
+    # Contract: compacted per-color outputs (caller scatters + masks).
+    return (checker.compact(plane, color),
+            checker.compact(final_cost, color),
+            checker.compact(selected, color),
+            jnp.moveaxis(checker.compact(
+                jnp.moveaxis(view_weight, 0, -1), color), -1, 0))
+
+
+def _weak_body(key, data: SweepData, sites: WeakSites, plane_now,
+               selected_now, fit_plane, params: PatchMatchParams, it):
+    """Candidate evaluation + view selection + refinement for (a band of)
+    the weak sites; returns (plane, selected, view_weight, weight_norm)
+    pre-final-cost (CheckerboardPropagationWeak, DPE.cu:1668-1843)."""
+    nview = data.num_src
+    k_sel, k_ref = jax.random.split(key)
+    geom = params.geom_consistency
+    px, py = sites.cx, sites.cy
 
     flags = sites.anchor_valid & sites.anchor_strong         # (8, H, W)
     cand_planes = sites.anchor_plane                         # (8, H, W, 4)
@@ -610,7 +706,7 @@ def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
 
     # Refinement (PlaneHypothesisRefinementWeak, DPE.cu:1120-1212): the
     # RANSAC fit plane first, then the 5 perturbation combos.
-    fit = sup.fit_plane
+    fit = fit_plane
     fit_nonzero = jnp.any(fit[..., :3] != 0.0, axis=-1)
     c_fit = eval_weighted(fit)
     d_fit = geo.depth_from_plane(data.ref_cam, fit, px, py)
@@ -642,23 +738,4 @@ def propagate_weak_rect(key, data: SweepData, sup, state: PMState,
         accept_final = cost < stored_cost - 0.1
         plane = jnp.where(accept_final[..., None], plane, plane_now)
 
-    # Re-express the stored cost with the standard strong NCC (full field,
-    # masked later) so weak and strong costs are comparable during
-    # propagation (DPE.cu:1845-1861). Only the active color's sites will be
-    # written back — evaluate the field the writeback would store.
-    from ..engine.sweep import checkerboard_mask
-    cmask = checkerboard_mask(H, W, color)
-    plane_full = jnp.where(cmask[..., None], plane, state.plane)
-    offs = pm.strong_offsets(params)
-    final_vec = rectcost.rect_cost_vector(
-        data.rect, rstat, plane_full, data.view_valid, params, offs,
-        geom=False)                                          # (V, H, W)
-    final_cost = jnp.sum(view_weight * final_vec, axis=0) / wsum
-    final_cost = jnp.where(weight_norm > 0, final_cost, COST_MAX)
-
-    # Contract: compacted per-color outputs (caller scatters + masks).
-    return (checker.compact(plane, color),
-            checker.compact(final_cost, color),
-            checker.compact(selected, color),
-            jnp.moveaxis(checker.compact(
-                jnp.moveaxis(view_weight, 0, -1), color), -1, 0))
+    return plane, selected, view_weight, weight_norm

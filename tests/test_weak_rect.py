@@ -65,6 +65,40 @@ def test_apd_sweep_rect_after_round0(tmp_path):
     assert float(np.median(rel1)) <= float(np.median(rel0)) + 0.003
 
 
+def test_apd_sweep_banded(tmp_path, monkeypatch):
+    """The row-banded weak proposal body (full-resolution memory bound,
+    weak_rect._weak_band_count) must preserve the APD sweep's acceptance
+    behaviour: same rig as test_apd_sweep_rect_after_round0 with the band
+    count forced to 4."""
+    monkeypatch.setattr(weak_rect, "_weak_band_count", lambda H, W: 4)
+    sc, inputs = _problem(tmp_path)
+    v_pad = 2
+    rh = rectcost.build_rect_host(inputs.cameras, inputs.width,
+                                  inputs.height, v_pad)
+    views_r = rectcost.build_rect_views(rh, inputs.images, None,
+                                        cameras=inputs.cameras)
+    data = st_mod.build_sweep_data(inputs, v_pad)._replace(rect=views_r)
+    gt = sc.gt_depths[0]
+
+    p0 = schedule_params(PatchMatchParams(), 0, None).replace(
+        max_iterations=2)
+    st = st_mod.init_pm_state(inputs, v_pad, jax.random.key(0), False)
+    st = run_sweep_staged(data, st, p0, rstat=rh.statics)
+    d0 = np.asarray(st.plane)[..., 3]
+
+    p1 = schedule_params(PatchMatchParams(), 1, None).replace(
+        use_edge=False, use_limit=False, use_label=False, max_iterations=1)
+    st1 = st._replace(key=jax.random.key(7))
+    st1 = run_sweep_staged(data, st1, p1, rstat=rh.statics)
+
+    d1 = np.asarray(st1.plane)[..., 3]
+    rel0 = np.abs(d0 - gt) / gt
+    rel1 = np.abs(d1 - gt) / gt
+    assert np.isfinite(d1).all()
+    assert float(np.mean(np.abs(d1 - d0) > 1e-6)) > 0.005   # did work
+    assert float(np.median(rel1)) <= float(np.median(rel0)) + 0.003
+
+
 def test_interp_profile_matches_lerp():
     rng = np.random.default_rng(0)
     S = weak_rect.PROBE_S
