@@ -535,11 +535,14 @@ def geom_term_rect(data: SweepData, sites: WeakSites, plane: jnp.ndarray
 
 def _weak_band_count(H: int, W: int) -> int:
     """Row-band count for the weak proposal body: bounds its transients
-    (the (8, V, Hb, W) candidate volumes and eval trees) to roughly one
-    800x600 frame's worth — the full-width body RESOURCE_EXHAUSTed at
-    1600x1200 alongside the 2.5 GB anchor-profile bundle. Returns the
-    smallest divisor of H that caps Hb*W near 500k pixels."""
-    want = -(-(H * W) // 500_000)
+    (the (8, V, Hb, W) candidate volumes, the sliced anchor-profile band
+    — 614 MB per band at 1600x1200 with 4 bands — and the eval trees) —
+    the full-width body RESOURCE_EXHAUSTed at 1600x1200 alongside the
+    2.5 GB anchor-profile bundle, and 4 bands still did. Working sizes
+    (<=500k px) stay unbanded; above 1M px the cap tightens to ~250k
+    sites per band. Returns the smallest divisor of H with that cap."""
+    px = H * W
+    want = -(-px // (500_000 if px <= 1_000_000 else 250_000))
     if want <= 1:
         return 1
     for nb in range(want, H + 1):
