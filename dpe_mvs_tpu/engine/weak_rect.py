@@ -67,6 +67,7 @@ BIG = float(1e30)
 
 PROBE_S = 16           # probes per pixel per view
 PROBE_STEP = 2.0       # px between probes
+A_D0_STORE_MAX_PX = 1_000_000   # above this, a_d0 is regathered per color
 # Shared volume machinery lives in rectcost (also used by strong_rect);
 # re-exported here for compatibility.
 from .rectcost import (S_CHUNK, VALID_THRESH, VOL_INVALID,  # noqa: E402
@@ -88,8 +89,10 @@ class WeakRectBundle(NamedTuple):
                                    # (BIG where pixel invalid in that view)
     ap: jnp.ndarray                # (V, 8, S, H, W) bf16 anchor weak-window
                                    # NCC profiles
-    a_d0: jnp.ndarray              # (V, 8, H, W) f32 probe-center disparity
-                                   # at the anchors (BIG where invalid)
+    a_d0: Optional[jnp.ndarray]    # (V, 8, H, W) f32 probe-center disparity
+                                   # at the anchors; None above 1M px —
+                                   # regathered from d0 per color instead
+                                   # (1.23 GB at 1600x1200)
 
 
 # ---------------------------------------------------------------------------
@@ -337,13 +340,14 @@ def build_weak_bundle(data: SweepData, sup, state: PMState,
         prof = g2d_mod.unpack_bf16_pairs(g2[:PROBE_S // 2])
         aps.append(prof.reshape(PROBE_S, 8, H, W))
         a_d0s.append(g2[PROBE_S // 2].reshape(8, H, W))
+    store_a_d0 = H * W <= A_D0_STORE_MAX_PX
 
     return WeakRectBundle(
         vol_center=jnp.stack(vols_c),
         vol_geom=jnp.stack(vols_g) if geom else None,
         d0=jnp.stack(d0s),
         ap=jnp.stack(aps).swapaxes(1, 2),                    # (V, 8, S, H, W)
-        a_d0=jnp.stack(a_d0s),
+        a_d0=jnp.stack(a_d0s) if store_a_d0 else None,
     )
 
 
@@ -450,12 +454,21 @@ def build_weak_sites(data: SweepData, sup, state: PMState, bundle,
         xr_l.append(xr)
         yr_l.append(yr)
 
+    a_d0 = bundle.a_d0
+    if a_d0 is None:
+        # Full-resolution path: gather the anchors' probe-center disparity
+        # from the orig-grid d0 field per view (one banded gather with V
+        # channels) instead of carrying the (V, 8, H, W) f32 store.
+        gq = sampling.gather_map(jnp.moveaxis(bundle.d0, 0, -1), q_y, q_x)
+        a_d0 = jnp.moveaxis(gq.reshape(8, H, -1, bundle.d0.shape[0]),
+                            -1, 0)                           # (V, 8, H, W)
+
     return WeakSites(
         vol_center=bundle.vol_center,
         vol_geom=bundle.vol_geom,
         d0=bundle.d0,
         ap=bundle.ap,
-        a_d0=bundle.a_d0,
+        a_d0=a_d0,
         cx=cx, cy=cy,
         xr=jnp.stack(xr_l), yr=jnp.stack(yr_l),
         a_x=a_x, a_y=a_y,
