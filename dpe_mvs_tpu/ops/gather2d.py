@@ -281,7 +281,7 @@ def _gather2d_hbm(imgs, iyp, ixp, interpret=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((QROWS, LANES), lambda i, j, k: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((cc, QROWS, LANES), lambda i, j, k: (k, i, j),
                                memory_space=pltpu.VMEM),
