@@ -64,6 +64,19 @@ class PatchMatchParams:
     ransac_threshold: float = 0.005
     geom_factor: float = 0.2
     state: RunState = RunState.FIRST_INIT
+    # Stride of the strong-propagation candidate-screening evaluations on
+    # the rect engine: None = auto (2 once the rect frame exceeds 384x512);
+    # candidates + view selection are scored on the stride-subgrid of
+    # window centers, then the winner is re-scored exactly
+    # (strong_rect.screen_stride). 1 forces exact screening everywhere.
+    propagate_stride: Optional[int] = None
+    # Probe-center stride for the DepthToWeak classify sweep on the rect
+    # engine: None = auto (stride 2 once the rect frame exceeds 384x512 —
+    # neighbouring pixels share a 61-probe profile, measured 96% argmin
+    # agreement and 2.54->1.45 s on-chip in round 4); 1 forces the exact
+    # per-pixel reference semantics (DPE.cu:2593), 2 forces the strided
+    # path at any size (test coverage of the production labeling path).
+    classify_stride: Optional[int] = None
 
     def replace(self, **kw) -> "PatchMatchParams":
         return dataclasses.replace(self, **kw)

@@ -769,9 +769,14 @@ def depth_to_weak(data: SweepData, state: PMState, params: PatchMatchParams,
     # At working resolutions the 61-probe sweep is the largest single
     # stage slice; stride-2 probe centers quarter it (labels only — the
     # margin/peak analysis tolerates profile sharing). Tiny test frames
-    # keep the exact path.
-    stride = 2 if (rstat is not None
-                   and rstat.hp * rstat.wp >= 384 * 512) else 1
+    # keep the exact path; params.classify_stride overrides the auto
+    # gate in either direction (round-4 advisor: the production stride-2
+    # path needs an opt-out and small-frame test coverage).
+    if params.classify_stride is not None and rstat is not None:
+        stride = params.classify_stride
+    else:
+        stride = 2 if (rstat is not None
+                       and rstat.hp * rstat.wp >= 384 * 512) else 1
     costs = disparity_sweep(data, state, params, disps, cost_fn,
                             rstat=rstat, stride=stride)       # (61, H, W)
 

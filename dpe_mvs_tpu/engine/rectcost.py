@@ -382,6 +382,450 @@ def rectify_src_depths(rect: Tuple[RectView, ...], statics: RectStatics,
 
 
 # ---------------------------------------------------------------------------
+# View-stacked operands: every view in one kernel launch
+# ---------------------------------------------------------------------------
+#
+# The row-gather kernels treat rows independently, so the V views' rectified
+# frames (which share one (Hp, Wp) thanks to build_rect_host's common frame)
+# stack along the ROW axis for free: one (V*Hp, Wp) operand turns V
+# per-view launches into one. Round 4 measured the per-launch dispatch
+# overhead as the strong iteration's dominant cost (VERDICT r4 weak #1 —
+# O(10^3) launches/sweep); this section is the round-5 batching.
+
+
+class _WarpGroup(NamedTuple):
+    """Views sharing one (static) warp orientation, stacked for one launch
+    pair. ``idx`` is a static tuple of view indices; ``flags`` is used only
+    in stacked-dyn mode (runtime transposes) where ``transposed`` is None."""
+
+    idx: Tuple[int, ...]
+    transposed: Optional[bool]
+    vy: jnp.ndarray               # (g, h_out, w_in)
+    hx: jnp.ndarray               # (g, h_out, w_out)
+    flags: Optional[jnp.ndarray]  # (g,) f32 runtime transpose flags
+
+
+class RectStack(NamedTuple):
+    """View-stacked device operands of a problem's RectView tuple."""
+
+    ref_rect: jnp.ndarray       # (V, Hp, Wp)
+    src_rect: jnp.ndarray       # (V, Hp, Wp)
+    ref_ok: jnp.ndarray         # (V, Hp, Wp)
+    src_ok: jnp.ndarray         # (V, Hp, Wp)
+    src_depth: jnp.ndarray      # (V, Hp, Wp)
+    orig_ok: jnp.ndarray        # (V, H, W)
+    R2r: jnp.ndarray            # (V, 3, 3)
+    f: jnp.ndarray              # (V, 1, 1)
+    cx: jnp.ndarray             # (V, 1, 1)
+    cy: jnp.ndarray             # (V, 1, 1)
+    b: jnp.ndarray              # (V, 1, 1)
+    fwd: Tuple[_WarpGroup, ...]
+    bwd: Tuple[_WarpGroup, ...]
+    # Per-row valid source-column interval of src_ok: a homography-warped
+    # rectangle's per-row valid set is convex, so the center-validity
+    # row_gather of src_ok collapses to two elementwise compares
+    # (DPE.cu:577-580 center check without a gather).
+    src_lo: jnp.ndarray = None  # (V, Hp, 1) f32
+    src_hi: jnp.ndarray = None  # (V, Hp, 1) f32
+
+
+def _groups(flag_list, vys, hxs, stacked, flags_arr):
+    if stacked:
+        return (_WarpGroup(tuple(range(len(vys))), None,
+                           jnp.stack(vys), jnp.stack(hxs),
+                           jnp.stack(flags_arr)),)
+    out = []
+    for val in (False, True):
+        idx = tuple(i for i, t in enumerate(flag_list) if t == val)
+        if idx:
+            out.append(_WarpGroup(
+                idx, val, jnp.stack([vys[i] for i in idx]),
+                jnp.stack([hxs[i] for i in idx]), None))
+    return tuple(out)
+
+
+def build_rect_stack(views: Tuple[RectView, ...],
+                     statics: RectStatics) -> RectStack:
+    """Assemble the view-stacked operands (traced; pure stacks)."""
+    scal = lambda g: jnp.stack([jnp.asarray(g(rv), jnp.float32)
+                                for rv in views])[:, None, None]
+    fwd = _groups(statics.f_transposed,
+                  [rv.f_vy for rv in views], [rv.f_hx for rv in views],
+                  statics.stacked,
+                  [rv.f_flag for rv in views] if statics.stacked else None)
+    bwd = _groups(statics.b_transposed,
+                  [rv.b_vy for rv in views], [rv.b_hx for rv in views],
+                  statics.stacked,
+                  [rv.b_flag for rv in views] if statics.stacked else None)
+    src_ok = jnp.stack([rv.src_ok for rv in views])
+    okb = src_ok > 0.5
+    Wp = src_ok.shape[-1]
+    cols = jnp.arange(Wp, dtype=jnp.int32)
+    any_ok = jnp.any(okb, axis=-1, keepdims=True)
+    lo = jnp.argmax(okb, axis=-1, keepdims=True)
+    hi = Wp - 1 - jnp.argmax(okb[..., ::-1], axis=-1, keepdims=True)
+    src_lo = jnp.where(any_ok, lo, 1).astype(jnp.float32)
+    src_hi = jnp.where(any_ok, hi, 0).astype(jnp.float32)
+    return RectStack(
+        ref_rect=jnp.stack([rv.ref_rect for rv in views]),
+        src_rect=jnp.stack([rv.src_rect for rv in views]),
+        ref_ok=jnp.stack([rv.ref_ok for rv in views]),
+        src_ok=src_ok,
+        src_depth=jnp.stack([rv.src_depth_rect for rv in views]),
+        orig_ok=jnp.stack([rv.orig_ok for rv in views]),
+        R2r=jnp.stack([rv.R2r for rv in views]),
+        f=scal(lambda rv: rv.f), cx=scal(lambda rv: rv.cx),
+        cy=scal(lambda rv: rv.cy), b=scal(lambda rv: rv.b),
+        fwd=fwd, bwd=bwd, src_lo=src_lo, src_hi=src_hi,
+    )
+
+
+def _stack_warp(imgs, vys, hxs, nearest, interpret):
+    """One launch pair warping N images by N separable warp fields.
+
+    imgs (N, H_in, W_in); vys (N, h_out, w_in); hxs (N, h_out, w_out).
+    Same two-pass structure as warp.warp_channels, but the fields vary per
+    row-stacked image instead of broadcasting one field over channels."""
+    N, h_in, w_in = imgs.shape
+    h_out, w_out = hxs.shape[1:]
+    imgT = jnp.swapaxes(imgs, 1, 2).reshape(N * w_in, h_in)
+    vyT = jnp.swapaxes(vys, 1, 2).reshape(N * w_in, h_out)
+    if nearest:
+        tmpT = rowgather.row_gather(
+            imgT, jnp.round(vyT).astype(jnp.int32), interpret=interpret)
+    else:
+        tmpT = rowgather.bilinear_x(imgT, vyT, interpret=interpret)
+    tmp = jnp.swapaxes(tmpT.reshape(N, w_in, h_out), 1, 2) \
+        .reshape(N * h_out, w_in)
+    hx = hxs.reshape(N * h_out, w_out)
+    if nearest:
+        out = rowgather.row_gather(
+            tmp, jnp.round(hx).astype(jnp.int32), interpret=interpret)
+    else:
+        out = rowgather.bilinear_x(tmp, hx, interpret=interpret)
+    return out.reshape(N, h_out, w_out)
+
+
+def _warp_groups(groups: Tuple[_WarpGroup, ...], chans: jnp.ndarray,
+                 nearest: bool, interpret, stride: int = 1) -> jnp.ndarray:
+    """(V, C, H_in, W_in) channels -> (V, C, h_out, w_out) through the
+    grouped per-view warp fields (<=2 launch pairs for all V*C channels).
+
+    ``stride > 1``: the inputs live on the warp's stride-subgrid (strided
+    screening) — the field columns are subsampled and index values scaled,
+    exactly as warp_bwd_channels_strided does for the classify volume."""
+    V, C = chans.shape[:2]
+    h_out, w_out = groups[0].hx.shape[1:]
+    outs = [None] * V
+    s = 1.0 / stride
+    # Split groups so the repeated per-channel index fields stay under
+    # ~512 MB per launch at full-resolution frames.
+    split = []
+    for grp in groups:
+        w_in = -(-grp.vy.shape[2] // stride)
+        g_cap = max(1, int(512e6 // max(C * w_in * h_out * 4, 1)))
+        for c0 in range(0, len(grp.idx), g_cap):
+            split.append(grp._replace(
+                idx=grp.idx[c0:c0 + g_cap],
+                vy=grp.vy[c0:c0 + g_cap], hx=grp.hx[c0:c0 + g_cap],
+                flags=(grp.flags[c0:c0 + g_cap]
+                       if grp.flags is not None else None)))
+    for grp in split:
+        sub = jnp.stack([chans[i] for i in grp.idx])     # (g, C, H, W)
+        vy, hx = grp.vy, grp.hx
+        if stride > 1:
+            vy = vy[:, :, ::stride] * s
+            hx = hx * s
+        if grp.transposed is None:
+            d = -(-grp.vy.shape[2] // stride)
+            sub = warp_ops._square_pad(sub, d)
+            sub = jnp.where(grp.flags[:, None, None, None] > 0.5,
+                            jnp.swapaxes(sub, 2, 3), sub)
+        elif grp.transposed:
+            sub = jnp.swapaxes(sub, 2, 3)
+        g = len(grp.idx)
+        imgs = sub.reshape(g * C, *sub.shape[2:])
+        vys = jnp.repeat(vy, C, axis=0)
+        hxs = jnp.repeat(hx, C, axis=0)
+        out = _stack_warp(imgs, vys, hxs, nearest, interpret) \
+            .reshape(g, C, h_out, w_out)
+        for j, i in enumerate(grp.idx):
+            outs[i] = out[j]
+    return jnp.stack(outs)
+
+
+def _shift3(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Clamp-padded static shift on the last two axes of (..., H, W)."""
+    H, W = a.shape[-2:]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    pad = [(0, 0)] * (a.ndim - 2) + [(py1, py0), (px1, px0)]
+    padded = jnp.pad(a, pad, mode="edge")
+    start = (0,) * (a.ndim - 2) + (py1 + dy, px1 + dx)
+    return jax.lax.dynamic_slice(padded, start, a.shape)
+
+
+class EvalCache(NamedTuple):
+    """Candidate-independent pieces of the stacked cost evaluation, built
+    once per stage trace and shared by every evaluation in it (the strong
+    iteration makes ~22 evaluations per color; the ref-side window weights
+    — 36 exps per (pixel, view) — and the shifted source rows are
+    identical across all of them). For ``stride > 1`` everything is stored
+    pre-subsampled, so screening evaluations never pay per-eval
+    lane-strided relayouts (the round-5 on-chip regression: per-eval
+    ``[..., ::2]`` slices cost more than the gather reduction saved)."""
+
+    stride: int
+    fwd: Tuple[_WarpGroup, ...]   # forward groups, output-strided
+    ref_ok: jnp.ndarray           # (V, Hs, Ws) f32
+    src_lo: jnp.ndarray           # (V, Hs, 1)
+    src_hi: jnp.ndarray
+    src_rows: Tuple[jnp.ndarray, ...]   # per oy: (V, Hs, Wp) shifted rows
+    w: Tuple[jnp.ndarray, ...]          # per (oy, ox): (V, Hs, Ws)
+    wr: Tuple[jnp.ndarray, ...]         # per (oy, ox): w * ref_s
+    inv_w: jnp.ndarray            # (V, Hs, Ws)
+    m_ref: jnp.ndarray
+    var_ref: jnp.ndarray
+    src_depth: Optional[jnp.ndarray]    # (V, Hs, Wp) row-subsampled
+
+
+def build_eval_cache(stack: RectStack, params: PatchMatchParams,
+                     offsets: np.ndarray, stride: int = 1,
+                     geom: bool = False,
+                     budget_bytes: float = 2.2e9) -> Optional[EvalCache]:
+    """Build the per-stage EvalCache, or None when the cached fields would
+    exceed ``budget_bytes`` (full-resolution frames fall back to inline
+    recomputation)."""
+    V, Hp, Wp = stack.src_rect.shape
+    Hs, Ws = -(-Hp // stride), -(-Wp // stride)
+    oys = sorted(set(float(o[1]) for o in offsets))
+    n_off = len(offsets)
+    total = (2 * n_off + 3) * V * Hs * Ws * 4 + len(oys) * V * Hs * Wp * 4
+    if total > budget_bytes:
+        return None
+
+    def sub(a):
+        return a[..., ::stride, ::stride] if stride > 1 else a
+
+    def subr(a):
+        return a[..., ::stride, :] if stride > 1 else a
+
+    fwd = stack.fwd
+    if stride > 1:
+        fwd = tuple(g._replace(vy=g.vy[:, ::stride],
+                               hx=g.hx[:, ::stride, ::stride]) for g in fwd)
+
+    inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
+    inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
+    ref_c = sub(stack.ref_rect)
+    src_rows, ws, wrs = [], [], []
+    sum_w = jnp.zeros((V, Hs, Ws), jnp.float32)
+    sum_ref = jnp.zeros((V, Hs, Ws), jnp.float32)
+    sum_ref2 = jnp.zeros((V, Hs, Ws), jnp.float32)
+    for oy in oys:
+        src_rows.append(subr(_shift3(stack.src_rect, int(oy), 0)))
+        for ox in [float(o[0]) for o in offsets if float(o[1]) == oy]:
+            ref_s = sub(_shift3(stack.ref_rect, int(oy), int(ox)))
+            spatial = float(np.sqrt(ox * ox + oy * oy))
+            w = jnp.exp(-spatial * inv_2ss
+                        - jnp.abs(ref_s - ref_c) * inv_2sc)
+            ws.append(w)
+            wrs.append(w * ref_s)
+            sum_w = sum_w + w
+            sum_ref = sum_ref + w * ref_s
+            sum_ref2 = sum_ref2 + w * ref_s * ref_s
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    var_ref = sum_ref2 * inv_w - m_ref * m_ref
+    return EvalCache(
+        stride=stride, fwd=fwd, ref_ok=sub(stack.ref_ok),
+        src_lo=subr(stack.src_lo), src_hi=subr(stack.src_hi),
+        src_rows=tuple(src_rows), w=tuple(ws), wr=tuple(wrs),
+        inv_w=inv_w, m_ref=m_ref, var_ref=var_ref,
+        src_depth=subr(stack.src_depth) if geom else None,
+    )
+
+
+def rect_cost_vector_stacked(
+    stack: RectStack,
+    plane: jnp.ndarray,              # (H, W, 4) orig-grid ref-cam plane field
+    view_valid: jnp.ndarray,         # (V,) bool
+    params: PatchMatchParams,
+    offsets: np.ndarray,
+    geom: bool = False,
+    interpret: Optional[bool] = None,
+    stride: int = 1,
+    cache: Optional[EvalCache] = None,
+) -> jnp.ndarray:
+    """View-stacked :func:`rect_cost_vector`: identical math (bilateral NCC
+    of ncc_rect_one + geom_rect_one per view), but every kernel launch
+    carries all V views — O(row offsets) launches per evaluation instead of
+    O(V * row offsets).
+
+    ``stride > 1`` evaluates only the rect frame's stride-subgrid of window
+    CENTERS (window samples keep full-resolution texture) and
+    nearest-upsamples through the backward warp — the candidate-screening
+    approximation (strong_rect.screen_stride): 1/stride^2 of the gather
+    work; the winning candidate is re-scored exactly by the caller."""
+    V, Hp, Wp = stack.src_rect.shape
+    H, W = plane.shape[:2]
+
+    def sub(a):
+        return a[..., ::stride, ::stride] if stride > 1 else a
+
+    def subr(a):
+        return a[..., ::stride, :] if stride > 1 else a
+
+    if cache is not None:
+        assert cache.stride == stride
+
+    # Transport n/d (3 channels — d is never needed separately: the
+    # disparity coefficients are linear in n/d and the cheirality sign is
+    # sign(-1 / (n/d . dir)); nearest-warp commutes with the pointwise
+    # division, so this matches the 4-channel (n, d) transport bitwise
+    # while gathering 25% fewer warp samples). Rotation into each rect
+    # frame happens after the warp (also pointwise-linear). With a cache
+    # and stride > 1, the warp groups are output-strided — the screening
+    # transport is 1/stride^2 of the exact one, with no per-eval strided
+    # relayout.
+    d_o = plane[..., 3]
+    q_o = plane[..., :3] / jnp.where(jnp.abs(d_o) < 1e-30, 1e-30,
+                                     d_o)[..., None]         # (H, W, 3)
+    chans = jnp.broadcast_to(jnp.moveaxis(q_o, -1, 0)[None],
+                             (V, 3, H, W))
+    if cache is not None:
+        qw = _warp_groups(cache.fwd, chans, nearest=True,
+                          interpret=interpret)               # (V, 3, Hs, Ws)
+    else:
+        qw = sub(_warp_groups(stack.fwd, chans, nearest=True,
+                              interpret=interpret))
+    nq = jnp.einsum("vij,vjhw->vihw", stack.R2r, qw)         # (V, 3, Hs, Ws)
+    gx = stack.b * nq[:, 0]
+    gy = stack.b * nq[:, 1]
+    g0 = stack.b * stack.f * nq[:, 2]
+
+    Hs, Ws = -(-Hp // stride), -(-Wp // stride)              # == a[::stride]
+    u = (jnp.arange(Ws, dtype=jnp.float32) * stride)[None, None, :]
+    v = (jnp.arange(Hs, dtype=jnp.float32) * stride)[None, :, None]
+
+    # Depth sign (cheirality) at the window center (as ncc_rect_one):
+    # z = -1 / (q . dir) with q = n/d in the rect frame.
+    denom_q = (nq[:, 0] * (u - stack.cx) + nq[:, 1] * (v - stack.cy)) \
+        / stack.f + nq[:, 2]
+    z_pos = denom_q < 0
+
+    xs_c = u + gx * (u - stack.cx) + gy * (v - stack.cy) + g0
+    xs_c = jnp.where(jnp.isfinite(xs_c), xs_c, -1.0)
+
+    if cache is not None:
+        ref_oks, lo_s, hi_s = cache.ref_ok, cache.src_lo, cache.src_hi
+    else:
+        ref_oks = sub(stack.ref_ok)
+        lo_s, hi_s = subr(stack.src_lo), subr(stack.src_hi)
+    # Center validity via the per-row valid interval of src_ok (exactly
+    # ok[floor(xs_c)] for a convex row — no gather).
+    valid = (ref_oks > 0.5) & z_pos & \
+        (xs_c >= jnp.maximum(lo_s, 0.0)) & \
+        (xs_c < hi_s + 1.0) & (xs_c <= Wp - 1.0)
+
+    oys = sorted(set(float(o[1]) for o in offsets))
+    zero = jnp.zeros((V, Hs, Ws), jnp.float32)
+    sum_src = sum_src2 = sum_rs = zero
+    if cache is None:
+        ref_c = sub(stack.ref_rect)
+        sum_w = sum_ref = sum_ref2 = zero
+        inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
+        inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
+
+    # Offsets per gather launch, bounded so the (V, Hs, kc, Ws) query/
+    # result transients stay under ~256 MB each at full-resolution frames.
+    k_cap = max(1, int(256e6 // (V * Hs * Ws * 4)))
+
+    flat = 0
+    for oy_i, oy in enumerate(oys):
+        oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+        # Window rows keep full-res texture; only the center rows are
+        # subsampled (the gathered columns span the full frame width).
+        if cache is not None:
+            src_row = cache.src_rows[oy_i]
+        else:
+            src_row = subr(_shift3(stack.src_rect, int(oy), 0))
+        for c0 in range(0, len(oxs), k_cap):
+            ox_c = oxs[c0:c0 + k_cap]
+            k = len(ox_c)
+            xs_list, ref_list, w_list = [], [], []
+            for ox in ox_c:
+                us = u + ox
+                vs = v + oy
+                xs = us + gx * (us - stack.cx) + gy * (vs - stack.cy) + g0
+                xs_list.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
+                if cache is None:
+                    ref_s = sub(_shift3(stack.ref_rect, int(oy), int(ox)))
+                    ref_list.append(ref_s)
+                    spatial = float(np.sqrt(ox * ox + oy * oy))
+                    w_list.append(jnp.exp(-spatial * inv_2ss
+                                          - jnp.abs(ref_s - ref_c)
+                                          * inv_2sc))
+            xs_cat = jnp.stack(xs_list, axis=2)              # (V, Hs, k, Ws)
+            src_cat = rowgather.bilinear_x(
+                src_row.reshape(V * Hs, Wp),
+                xs_cat.reshape(V * Hs, k * Ws), interpret=interpret)
+            src_s = src_cat.reshape(V, Hs, k, Ws)
+            for j in range(k):
+                s = src_s[:, :, j]
+                if cache is None:
+                    w = w_list[j]
+                    r = ref_list[j]
+                    sum_w = sum_w + w
+                    sum_ref = sum_ref + w * r
+                    sum_ref2 = sum_ref2 + w * r * r
+                    sum_src = sum_src + w * s
+                    sum_src2 = sum_src2 + w * s * s
+                    sum_rs = sum_rs + w * r * s
+                else:
+                    w = cache.w[flat + j]
+                    sum_src = sum_src + w * s
+                    sum_src2 = sum_src2 + w * s * s
+                    sum_rs = sum_rs + cache.wr[flat + j] * s
+            flat += k
+
+    if cache is None:
+        inv_w = 1.0 / sum_w
+        m_ref = sum_ref * inv_w
+        var_ref = sum_ref2 * inv_w - m_ref * m_ref
+    else:
+        inv_w, m_ref, var_ref = cache.inv_w, cache.m_ref, cache.var_ref
+    m_src = sum_src * inv_w
+    var_src = sum_src2 * inv_w - m_src * m_src
+    covar = sum_rs * inv_w - m_ref * m_src
+    den = jnp.sqrt(jnp.maximum(var_ref * var_src, K_MIN_VAR * K_MIN_VAR))
+    nccv = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
+    c = jnp.where((var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR),
+                  COST_MAX, nccv)
+    c = jnp.where(valid, c, COST_MAX)
+
+    if geom:
+        dep = (cache.src_depth if cache is not None and
+               cache.src_depth is not None else subr(stack.src_depth))
+        z_src = rowgather.row_gather(
+            dep.reshape(V * Hs, Wp),
+            jnp.clip(xs_c, 0.0, Wp - 1).astype(jnp.int32)
+            .reshape(V * Hs, Ws),
+            interpret=interpret).reshape(V, Hs, Ws)
+        ok_g = (xs_c >= 0.0) & (xs_c <= Wp - 1.0)
+        x_back = xs_c + stack.f * stack.b / jnp.where(z_src > 0, z_src, 1e30)
+        err = jnp.minimum(jnp.abs(x_back - u), GEOM_COST_MAX)
+        g = jnp.where(ok_g & (z_src > 0), err, GEOM_COST_MAX)
+        c = c + params.geom_factor * g
+
+    back = _warp_groups(stack.bwd, c[:, None], nearest=True,
+                        interpret=interpret, stride=stride)[:, 0]  # (V, H, W)
+    cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom else 0.0)
+    return jnp.where((stack.orig_ok > 0.5) &
+                     view_valid[:, None, None], back, cmax)
+
+
+# ---------------------------------------------------------------------------
 # The cost evaluation proper
 # ---------------------------------------------------------------------------
 
@@ -524,25 +968,15 @@ def rect_cost_vector(
 ) -> jnp.ndarray:
     """(V, H, W) bilateral NCC (+ optional geometric) costs of one plane
     field against every source view, on the ORIGINAL pixel grid — the rect
-    path's replacement for :func:`..engine.patchmatch.ncc_cost_vector`."""
-    H, W = plane.shape[:2]
-    out = []
-    for i, rv in enumerate(views):
-        pr = plane_to_rect(plane, rv.R2r)                    # (H, W, 4)
-        prw = warp_fwd_channels(rv, statics, i, jnp.moveaxis(pr, -1, 0),
-                                interpret=interpret)
-        prw = jnp.moveaxis(prw, 0, -1)                       # (Hp, Wp, 4)
-        c = ncc_rect_one(rv, prw, offsets, params.sigma_spatial,
-                         params.sigma_color, interpret=interpret)
-        if geom:
-            g = geom_rect_one(rv, prw, interpret=interpret)
-            c = c + params.geom_factor * g
-        c_orig = warp_bwd(rv, statics, i, c, interpret=interpret)
-        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom else 0.0)
-        c_orig = jnp.where((rv.orig_ok > 0.5) & view_valid[i], c_orig,
-                           cmax)
-        out.append(c_orig)
-    return jnp.stack(out)
+    path's replacement for :func:`..engine.patchmatch.ncc_cost_vector`.
+
+    Delegates to :func:`rect_cost_vector_stacked` (round 5): identical math,
+    every launch carries all V views. Callers evaluating many fields should
+    build the RectStack once (strong_rect.make_cost_fn) and call the stacked
+    form directly so the operand stacking is traced once."""
+    stack = build_rect_stack(views, statics)
+    return rect_cost_vector_stacked(stack, plane, view_valid, params,
+                                    offsets, geom=geom, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -727,58 +1161,11 @@ def _sweep_ncc_volume(rv, coeff_fn, S: int, offsets: np.ndarray,
     return vol, gvol, valid
 
 
-def batched_cost_fields(data, statics, planes: jnp.ndarray,
-                        params: PatchMatchParams, geom: bool,
-                        interpret=None) -> jnp.ndarray:
-    """(S, V, H, W) NCC (+ geom) costs of S ref-cam plane fields — the
-    batched form of S calls to rect_cost_vector. All S fields share one set
-    of ref-side window sums per view and their source gathers ride batched
-    launches; exact per-center window warps (same formula as ncc_rect_one —
-    no probe-lattice approximation).
-
-    planes: (S, H, W, 4). NOT used by the strong propagation: measured
-    on-chip (round 4), per-field evaluation runs the strong iteration
-    1.6x faster than this volume form at working shapes (see
-    strong_rect's module docstring), so this remains the reference
-    batched form (exercised by tests/test_weak_rect.py) and the probe
-    machinery uses _sweep_ncc_volume directly. (A one-launch oy-stacked
-    gather variant was also tried and reverted: the stacked-source and
-    stacked-query concats cost more than the 5 saved launches — strong
-    0.76 -> 0.96 s/iter, bench r4 try 3.)"""
-    S, H, W = planes.shape[:3]
-    offs = ncc.window_offsets(params.strong_radius, params.strong_increment)
-    out = []
-    for i, rv in enumerate(data.rect):
-        Hp, Wp = rv.ref_rect.shape
-        # Warp all S plane fields into the rect frame in one launch pair.
-        pr = jax.vmap(lambda p: plane_to_rect(p, rv.R2r))(planes)
-        chans = jnp.moveaxis(pr, -1, 1).reshape(S * 4, H, W)
-        prw = warp_fwd_channels(rv, statics, i, chans,
-                                interpret=interpret)
-        prw = prw.reshape(S, 4, Hp, Wp)
-        prw = jnp.concatenate([prw, jnp.broadcast_to(
-            prw[-1:], (S_CHUNK, 4, Hp, Wp))])
-
-        def coeff_fn(c0, sc):
-            p_c = jax.lax.dynamic_slice_in_dim(prw, c0, sc, axis=0)
-            nr = p_c[:, :3]
-            d = p_c[:, 3]
-            safe = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
-            return (rv.b * nr[:, 0] / safe, rv.b * nr[:, 1] / safe,
-                    rv.b * rv.f * nr[:, 2] / safe)
-
-        vol, gvol, valid = _sweep_ncc_volume(
-            rv, coeff_fn, S, offs, params.sigma_spatial, params.sigma_color,
-            with_geom=geom, interpret=interpret)
-        cost_i = jnp.where(valid, vol, COST_MAX)
-        if geom:
-            cost_i = cost_i + params.geom_factor * jnp.where(
-                valid, gvol, GEOM_COST_MAX)
-        back = warp_bwd_channels(rv, statics, i, cost_i,
-                                 interpret=interpret)        # (S, H, W)
-        cmax = COST_MAX + (params.geom_factor * GEOM_COST_MAX if geom
-                           else 0.0)
-        back = jnp.where((rv.orig_ok[None] > 0.5) & data.view_valid[i],
-                         back, cmax)
-        out.append(back)
-    return jnp.moveaxis(jnp.stack(out), 0, 1)                # (S, V, H, W)
+# (round 5) batched_cost_fields — the S-plane-field batched form of
+# rect_cost_vector — was retired from the production tree (VERDICT r4 weak
+# #7): its one production candidate consumer (strong propagation) measured
+# faster on the per-field path in round 4, and the per-stage EvalCache now
+# provides the ref-side sharing it offered. The reference batched form
+# lives on as a test helper (tests/test_weak_rect.py) exercising
+# _sweep_ncc_volume — the machinery the classify/weakprep probes use —
+# against rect_cost_vector.

@@ -77,10 +77,19 @@ def _strong_iter(data: SweepData, sup: pm.Support, state: PMState,
     colors (matches the strong_color scan of run_sweep)."""
 
     if rstat is not None:
+        # cost_now of the CURRENT plane is shared by both colors: the cost
+        # at a pixel depends only on that pixel's plane, and color 0's
+        # write-back touches only color-0 sites, so color 1 consumes the
+        # same values at its own sites (one full cost evaluation saved per
+        # color; ~1 px of nearest-warp transport error at site boundaries,
+        # within the transport tolerance documented in docs/DESIGN.md).
+        cost_fn = strong_rect.make_cost_fn(data, params, rstat)
+        cnv = cost_fn(state.plane)
+
         def strong_color_rect(state, color):
             out = strong_rect.propagate_strong_rect(
                 jax.random.fold_in(key_it, color), data, sup, state,
-                params, it, color, rstat)
+                params, it, color, rstat, cost_now_vec=cnv)
             return strong_rect.apply_strong_full(
                 state, state.weak != WEAK, color, *out), None
 

@@ -217,16 +217,49 @@ def second_pass_candidate_planes(cost_map: jnp.ndarray, plane: jnp.ndarray,
     return jnp.stack(flags), jnp.stack(cands)
 
 
+def screen_stride(params: PatchMatchParams, rstat) -> int:
+    """Stride of the candidate-SCREENING cost evaluations (strong
+    propagation): candidates are scored on the rect frame's stride-subgrid
+    (full-res window texture, subsampled centers) and the winner re-scored
+    exactly. Auto gate mirrors the classify stride (working resolutions
+    only); ``params.propagate_stride`` overrides in either direction.
+
+    Measured ON-CHIP at 800x600x6 (round 5): stride-2 screening is only a
+    win WITH the strided EvalCache (strong 1.83 -> 0.96 s/iter); without
+    it, per-eval lane-strided subsamples cost more in relayouts than the
+    4x gather reduction saves (2.76 s/iter — make_cost_fn builds the
+    cache for every strided screen)."""
+    if params.propagate_stride is not None and rstat is not None:
+        return params.propagate_stride
+    return 2 if (rstat is not None
+                 and rstat.hp * rstat.wp >= 384 * 512) else 1
+
+
 def make_cost_fn(data: SweepData, params: PatchMatchParams, rstat,
-                 interpret=None):
+                 interpret=None, stride: int = 1):
     """plane field (H, W, 4) -> (V, H, W) costs (NCC + geom when enabled),
-    through the rectified engine."""
+    through the rectified engine. Builds the view-stacked operands and the
+    candidate-independent EvalCache ONCE per trace, so every evaluation
+    only pays the source-side gathers + accumulation (round-5: the ref-side
+    window weights were ~105M exps per evaluation at 800x600x6, recomputed
+    ~44x per strong iteration)."""
     offs = pm.strong_offsets(params)
+    stack = rectcost.build_rect_stack(data.rect, rstat)
+    # EvalCache only for STRIDED screening: at stride 1 the cached
+    # w/wr fields cost more HBM reads per evaluation than the exp/shift
+    # recompute they replace (measured on-chip round 5: strong 1.96 vs
+    # 1.83 s/iter with a full-res cache). At stride 2 the cached fields
+    # are 4x smaller AND pre-subsampled — which removes the per-eval
+    # strided-relayout poison that sank plain strided screening.
+    cache = (rectcost.build_eval_cache(stack, params, offs, stride=stride,
+                                       geom=params.geom_consistency)
+             if stride > 1 else None)
 
     def cost_fn(plane):
-        return rectcost.rect_cost_vector(
-            data.rect, rstat, plane, data.view_valid, params, offs,
-            geom=params.geom_consistency, interpret=interpret)
+        return rectcost.rect_cost_vector_stacked(
+            stack, plane, data.view_valid, params, offs,
+            geom=params.geom_consistency, interpret=interpret,
+            stride=stride, cache=cache)
 
     return cost_fn
 
@@ -281,11 +314,44 @@ def initialize_rect(data: SweepData, state: PMState,
 
 def refine_strong_rect(key, data: SweepData, params: PatchMatchParams,
                        cost_fn, plane, depth, cost, view_weight,
-                       weight_norm):
-    """``PlaneHypothesisRefinementStrong`` (DPE.cu:1065-1118), full-res."""
+                       weight_norm, cost_fn_s=None):
+    """``PlaneHypothesisRefinementStrong`` (DPE.cu:1065-1118), full-res.
+
+    With ``cost_fn_s`` (strided screening), the 5 perturbation combos are
+    scored on the stride-subgrid and only the per-pixel winner is
+    re-scored exactly for the acceptance test — the combos are fixed at
+    entry, so the exact sequential scan reduces to an argmin anyway."""
     px, py = geo.pixel_grid(*data.ref_image.shape)
     depths, normals = pm.refine_combos(key, data, plane, depth, px, py)
     wsum = jnp.maximum(weight_norm, 1e-30)
+
+    if cost_fn_s is not None:
+        def screen(carry, xs):
+            best_c, best_d, best_n = carry
+            d_i, n_i = xs
+            cand = geo.plane_from_depth_normal(data.ref_cam, px, py, d_i,
+                                               n_i)
+            c = jnp.sum(view_weight * cost_fn_s(cand), axis=0) / wsum
+            d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
+            ok = (d_chk >= data.depth_min) & (d_chk <= data.depth_max) & \
+                (c < best_c)
+            best_c = jnp.where(ok, c, best_c)
+            best_d = jnp.where(ok, d_i, best_d)
+            best_n = jnp.where(ok[..., None], n_i, best_n)
+            return (best_c, best_d, best_n), None
+
+        (s_c, s_d, s_n), _ = jax.lax.scan(
+            screen, (jnp.full(cost.shape, BIG), depth, plane[..., :3]),
+            (depths, normals))
+        cand = geo.plane_from_depth_normal(data.ref_cam, px, py, s_d, s_n)
+        c = jnp.sum(view_weight * cost_fn(cand), axis=0) / wsum
+        d_chk = geo.depth_from_plane(data.ref_cam, cand, px, py)
+        ok = (s_c < BIG) & (d_chk >= data.depth_min) & \
+            (d_chk <= data.depth_max) & (c < cost) & (weight_norm > 0)
+        plane = jnp.where(ok[..., None], cand, plane)
+        depth = jnp.where(ok, d_chk, depth)
+        cost = jnp.where(ok, c, cost)
+        return plane, depth, cost
 
     def body(carry, xs):
         plane, depth, cost = carry
@@ -307,14 +373,24 @@ def refine_strong_rect(key, data: SweepData, params: PatchMatchParams,
 
 
 def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
-                          params: PatchMatchParams, it, color, rstat):
+                          params: PatchMatchParams, it, color, rstat,
+                          cost_now_vec=None):
     """One color's strong-pixel proposal, full resolution. Returns
     (plane, cost, selected, view_weight (V,H,W)) full-res fields; the caller
-    masks to the color's sites and non-weak pixels."""
+    masks to the color's sites and non-weak pixels. ``cost_now_vec`` lets
+    the caller share the (V, H, W) current-plane cost evaluation across
+    both colors (see stages._strong_iter)."""
     H, W = data.ref_image.shape
     nview = data.num_src
     k_sel, k_ref = jax.random.split(key)
     cost_fn = make_cost_fn(data, params, rstat)
+    # Candidate SCREENING runs at screen_stride (subsampled centers, exact
+    # window texture); the winning candidate is re-scored with cost_fn
+    # below, so only the argmin/view-selection heuristics see the
+    # approximation (classify's stride-2 measured 96% argmin agreement).
+    stride = screen_stride(params, rstat)
+    cost_fn_s = (make_cost_fn(data, params, rstat, stride=stride)
+                 if stride > 1 else cost_fn)
 
     plane_now = state.plane
     selected_now = state.selected
@@ -325,14 +401,14 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     else:
         flags, cand_planes = classic_candidate_planes(state.cost, state.plane)
 
-    cost_array = jax.lax.map(cost_fn, cand_planes)          # (8, V, H, W)
+    cost_array = jax.lax.map(cost_fn_s, cand_planes)        # (8, V, H, W)
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
     if params.use_edge:
         itf = jnp.asarray(it, jnp.float32)
         good_thr = 0.8 * jnp.exp(itf * itf / -90.0)
         f2, p2 = second_pass_candidate_planes(state.cost, state.plane, it)
-        c2 = jax.lax.map(cost_fn, p2)
+        c2 = jax.lax.map(cost_fn_s, p2)
         good1 = jnp.sum(cost_array < good_thr, axis=1)
         bad1 = jnp.sum(cost_array > 1.2, axis=1)
         c2m = jnp.where(f2[:, None], c2, COST_MAX)
@@ -354,8 +430,13 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     min_flag = _select_k(flags, min_idx)
     min_cost = _select_k(final_costs, min_idx)
     min_plane = _select_k(cand_planes, min_idx)
+    if stride > 1:
+        # Re-score the winning candidate exactly so the accept test and the
+        # stored cost never carry the screening approximation.
+        min_cost = jnp.sum(view_weight * cost_fn(min_plane), axis=0) / wsum
 
-    cost_now_vec = cost_fn(plane_now)
+    if cost_now_vec is None:
+        cost_now_vec = cost_fn(plane_now)
     cost_now = jnp.sum(view_weight * cost_now_vec, axis=0) / wsum
     cost_now = jnp.where(weight_norm > 0, cost_now, COST_MAX)
     stored_cost = cost_now
@@ -373,7 +454,7 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
 
     plane, depth, cost = refine_strong_rect(
         k_ref, data, params, cost_fn, plane, depth, cost, view_weight,
-        weight_norm)
+        weight_norm, cost_fn_s=cost_fn_s if stride > 1 else None)
 
     if params.state == RunState.REFINE_INIT:
         accept_final = cost < stored_cost - 0.1

@@ -17,12 +17,14 @@ same reference view is coarser, which can only add points, never drop them.
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PixelState
 from ..geometry import cameras as geo
@@ -80,6 +82,152 @@ def _fuse_view(ref_cam_arrs, src_cam_arrs, ref_depth, ref_normal, ref_weak,
         (total > factor * num_consistent)
     used = oks & accept[None]
     return accept, Xw, num_consistent, used, sxs, sys_
+
+
+# ---------------------------------------------------------------------------
+# Mesh-distributed fusion (SURVEY §2.3 #4)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _vote_exec(mesh: Mesh, axis: str):
+    """Sharded consistency vote: reference views sharded over the mesh,
+    depth/normal/camera stacks all-gathered once per pass, each device
+    voting its local reference block (lax.map over the shard)."""
+    def body(K, R, t, d, n, w, m, idx, sm):
+        d_all = jax.lax.all_gather(d, axis, tiled=True)      # (B, H, W)
+        n_all = jax.lax.all_gather(n, axis, tiled=True)
+        K_all = jax.lax.all_gather(K, axis, tiled=True)
+        R_all = jax.lax.all_gather(R, axis, tiled=True)
+        t_all = jax.lax.all_gather(t, axis, tiled=True)
+
+        def one(args):
+            K_b, R_b, t_b, d_b, n_b, w_b, m_b, idx_b, sm_b = args
+            safe = jnp.maximum(idx_b, 0)
+            smk = sm_b | (idx_b < 0)[:, None, None]
+            return _fuse_view(
+                (K_b, R_b, t_b),
+                (K_all[safe], R_all[safe], t_all[safe]),
+                d_b, n_b, w_b, m_b, d_all[safe], n_all[safe], smk)
+
+        return jax.lax.map(one, (K, R, t, d, n, w, m, idx, sm))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axis),) * 9, out_specs=P(axis),
+        check_vma=False))
+
+
+def run_fusion_mesh(dense_folder, problems: List[scene.Problem],
+                    mesh: Mesh, axis: str = "views",
+                    verbose: bool = False) -> Path:
+    """``run_fusion`` with the reference views sharded over a device mesh
+    (SURVEY §2.3 #4 — the cross-view vote as gather+reduce collectives
+    instead of the reference's sequential whole-scene CPU loop,
+    DPE.cpp:1220-1370).
+
+    The sequential path's used-pixel masks are inherently order-dependent
+    (each reference view masks source pixels for LATER views,
+    DPE.cpp:1299/1353). The mesh variant reproduces that schedule to first
+    order with two sharded vote passes: pass 1 votes unmasked; the host
+    then replays the reference's mask schedule over pass-1's used maps;
+    pass 2 votes with those masks. Duplicates-of-duplicates (a pixel
+    suppressed only because its suppressor was itself suppressed) are the
+    only divergence — second-order, bounded in tests/test_parallel.py."""
+    dense_folder = Path(dense_folder)
+    id_to_idx = {p.ref_image_id: i for i, p in enumerate(problems)}
+    cache = _ViewCache(problems, max_views=len(problems) + 1)
+    n_dev = len(mesh.devices.flat)
+    B = len(problems)
+    Bp = ((B + n_dev - 1) // n_dev) * n_dev
+    v_pad = max(1, max(len(p.src_image_ids) for p in problems))
+
+    H, W = cache.get(0)["depth"].shape
+    d_st = np.zeros((Bp, H, W), np.float32)
+    n_st = np.zeros((Bp, H, W, 3), np.float32)
+    w_st = np.zeros((Bp, H, W), np.uint8)
+    sky = np.zeros((Bp, H, W), bool)
+    K_st = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
+    R_st = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
+    t_st = np.zeros((Bp, 3), np.float32)
+    idx = np.full((Bp, v_pad), -1, np.int32)
+    block_dir = dense_folder / "blocks"
+    for i, p in enumerate(problems):
+        e = cache.get(i)
+        d_st[i], n_st[i], w_st[i] = e["depth"], e["normal"], e["weak"]
+        K_st[i], R_st[i], t_st[i] = e["cam"].K, e["cam"].R, e["cam"].t
+        for v, s in enumerate(p.src_image_ids[:v_pad]):
+            if s in id_to_idx:
+                idx[i, v] = id_to_idx[s]
+        bp = block_dir / f"mask_{p.ref_image_id}.jpg"
+        if bp.exists():
+            import cv2
+            b = cv2.imread(str(bp), cv2.IMREAD_GRAYSCALE)
+            b = scene.resize_linear(b, W, H) if b.shape != (H, W) else b
+            sky[i] = b < 128
+
+    sharding = NamedSharding(mesh, P(axis))
+    put = lambda a: jax.device_put(jnp.asarray(a), sharding)
+    vote = _vote_exec(mesh, axis)
+
+    # Pass 1: unmasked vote -> candidate used maps.
+    zero_sm = np.zeros((Bp, v_pad, H, W), bool)
+    out1 = vote(put(K_st), put(R_st), put(t_st), put(d_st), put(n_st),
+                put(w_st), put(sky), put(idx), put(zero_sm))
+    used1 = np.asarray(jax.device_get(out1[3]))              # (Bp, V, H, W)
+    sx1 = np.asarray(jax.device_get(out1[4]))
+    sy1 = np.asarray(jax.device_get(out1[5]))
+
+    # Replay the sequential mask schedule over pass-1 votes (host).
+    sup = np.zeros((Bp, H, W), bool)
+    ref_mask = np.zeros((Bp, H, W), bool)
+    src_mask = np.zeros((Bp, v_pad, H, W), bool)
+    for i in range(B):
+        ref_mask[i] = sup[i] | sky[i]
+        for v in range(v_pad):
+            j = idx[i, v]
+            if j >= 0:
+                src_mask[i, v] = sup[j]
+        for v in range(v_pad):
+            j = idx[i, v]
+            if j >= 0:
+                uv = used1[i, v]
+                sup[j][sy1[i, v][uv], sx1[i, v][uv]] = True
+
+    # Pass 2: the masked vote (the one whose accepts become points).
+    out2 = vote(put(K_st), put(R_st), put(t_st), put(d_st), put(n_st),
+                put(w_st), put(ref_mask), put(idx), put(src_mask))
+    accept = np.asarray(jax.device_get(out2[0]))
+    Xw = np.asarray(jax.device_get(out2[1]))
+    num_c = np.asarray(jax.device_get(out2[2]))
+    used = np.asarray(jax.device_get(out2[3]))
+    sxs = np.asarray(jax.device_get(out2[4]))
+    sys_ = np.asarray(jax.device_get(out2[5]))
+
+    pts_out, col_out = [], []
+    for i, p in enumerate(problems):
+        col = cache.get(i)["img"].astype(np.float32).copy()
+        acc = accept[i]
+        for v in range(v_pad):
+            j = idx[i, v]
+            if j < 0:
+                continue
+            uv = used[i, v] & acc
+            col[uv] += cache.get(j)["img"][sys_[i, v][uv],
+                                           sxs[i, v][uv]].astype(np.float32)
+        col[acc] /= (num_c[i][acc] + 1)[:, None]
+        pts_out.append(Xw[i][acc])
+        col_out.append(col[acc].astype(np.uint8))
+
+    pts = (np.concatenate(pts_out, 0) if pts_out
+           else np.zeros((0, 3), np.float32))
+    cols = (np.concatenate(col_out, 0) if col_out
+            else np.zeros((0, 3), np.uint8))
+    out_path = dense_folder / "DPE" / "DPE.ply"
+    out_path.parent.mkdir(exist_ok=True)
+    formats.write_ply(out_path, pts, cols)
+    if verbose:
+        print(f"  fused point cloud (mesh x{n_dev}): {pts.shape[0]} points "
+              f"-> {out_path}")
+    return out_path
 
 
 def export_depth_image_point_cloud(out_path, image_bgr: np.ndarray,

@@ -72,7 +72,12 @@ def round_rect_frame(problems: List[scene.Problem], scale_size: int,
     algebra alone (no image IO). With a shared frame + stacked statics, ONE
     compiled stage set serves all problems — per-problem transpose statics
     otherwise force a full recompile per problem (minutes each on the
-    remote TPU compile service)."""
+    remote TPU compile service).
+
+    Precondition: every image in the scene shares problems[0]'s dimensions
+    — both pipeline runners enforce this via scene.check_images (the
+    reference's CheckImages, main.cpp:310-329) before any frame is derived;
+    the scaled size below is computed from problems[0] alone."""
     from ..geometry import rectify
 
     key = (str(problems[0].dense_folder), scale_size, v_pad)

@@ -13,8 +13,15 @@ from typing import Callable, TypeVar
 
 T = TypeVar("T")
 
-# Errors that retrying cannot fix.
-_FATAL_MARKERS = ("RESOURCE_EXHAUSTED",)
+# Only errors carrying one of these markers are worth retrying — transient
+# service/tunnel faults. Everything else (shape errors, NaN asserts, bad
+# configs, OOM) is deterministic: re-running it 3x with sleeps only delays
+# and obscures the first traceback (round-4 advisor finding).
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED", "ABORTED",
+    "Connection reset", "connection reset", "Socket closed",
+    "Broken pipe", "EOF", "timed out", "Timeout",
+)
 
 
 def with_retry(fn: Callable[[], T], attempts: int = 3,
@@ -22,8 +29,8 @@ def with_retry(fn: Callable[[], T], attempts: int = 3,
                sleep=time.sleep) -> T:
     """Run ``fn`` with up to ``attempts`` tries and linear backoff.
 
-    OOMs and KeyboardInterrupt propagate immediately; the last error is
-    re-raised when all attempts fail."""
+    Only transient-marked failures are retried; deterministic errors (and
+    KeyboardInterrupt) propagate immediately."""
     last_err = None
     for attempt in range(attempts):
         try:
@@ -31,7 +38,7 @@ def with_retry(fn: Callable[[], T], attempts: int = 3,
         except KeyboardInterrupt:
             raise
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
-            if any(m in str(e) for m in _FATAL_MARKERS):
+            if not any(m in str(e) for m in _TRANSIENT_MARKERS):
                 raise
             last_err = e
             if attempt < attempts - 1:

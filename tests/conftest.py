@@ -29,8 +29,10 @@ if not RUN_TPU:
     jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu", jax.devices()
 
-# After platform selection: setup() reads the default backend to decide the
-# persistent-cache policy (CPU: on by default), which initializes it.
+# After platform selection: setup() is a no-op unless DPE_MVS_TPU_CACHE is
+# set (the persistent compile cache is opt-in on every backend — the CPU
+# default was reverted for the interpret-Pallas serialization segfault);
+# the ordering here just keeps platform selection first.
 from dpe_mvs_tpu.utils import jaxconfig  # noqa: E402
 jaxconfig.setup()
 

@@ -179,7 +179,7 @@ def test_with_retry_unit(monkeypatch):
     def flaky():
         attempts["n"] += 1
         if attempts["n"] < 3:
-            raise RuntimeError("transient")
+            raise RuntimeError("UNAVAILABLE: tunnel hiccup")
         return 42
 
     assert with_retry(flaky, sleep=lambda s: None) == 42
@@ -191,11 +191,17 @@ def test_with_retry_unit(monkeypatch):
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
         with_retry(oom, sleep=lambda s: None)
 
+    # Deterministic errors propagate on the FIRST attempt (no retries of
+    # shape errors / NaN asserts — round-4 advisor finding).
+    det = {"n": 0}
+
     def always():
-        raise ValueError("persistent")
+        det["n"] += 1
+        raise ValueError("persistent shape mismatch")
 
     with pytest.raises(ValueError, match="persistent"):
         with_retry(always, sleep=lambda s: None)
+    assert det["n"] == 1
 
 
 def test_exchange_depths_pruned_ring(eight_devices):
@@ -217,3 +223,30 @@ def test_exchange_depths_pruned_ring(eight_devices):
     for b in range(B):
         for v in range(V):
             np.testing.assert_array_equal(out[b, v], ref[src[b][v]])
+
+
+def test_mesh_fusion_point_count_parity(eight_devices, tmp_path):
+    """Mesh-distributed fusion (SURVEY §2.3 #4) must reproduce the
+    sequential fusion's point cloud up to its documented second-order
+    used-mask divergence: point counts within ~1%."""
+    from dpe_mvs_tpu.config import EngineConfig
+    from dpe_mvs_tpu.io import formats
+    from dpe_mvs_tpu.pipeline import fusion as fusion_mod
+    from dpe_mvs_tpu.pipeline.schedule import run_pipeline
+
+    sc = make_plane_scene(tmp_path, width=48, height=36, num_views=6,
+                          seed=11)
+    cfg = EngineConfig(min_rounds=1, coarse_target=48)
+    ret = run_pipeline(sc.folder, verbose=False, fusion=True, cfg=cfg,
+                       keep_intermediates=True)
+    assert ret == 0
+    problems = scene_mod.generate_sample_list(sc.folder)
+    pts_seq, _ = formats.read_ply(sc.folder / "DPE" / "DPE.ply")
+
+    mesh = mesh_mod.make_mesh(eight_devices)
+    fusion_mod.run_fusion_mesh(sc.folder, problems, mesh)
+    pts_mesh, _ = formats.read_ply(sc.folder / "DPE" / "DPE.ply")
+
+    assert pts_seq.shape[0] > 100
+    rel = abs(pts_mesh.shape[0] - pts_seq.shape[0]) / pts_seq.shape[0]
+    assert rel <= 0.01, (pts_seq.shape[0], pts_mesh.shape[0])

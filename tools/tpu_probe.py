@@ -76,6 +76,11 @@ def main() -> int:
         params = schedule_params(PatchMatchParams(), 1, 0 if geom else None)
     else:
         params = schedule_params(PatchMatchParams(), 0, None)
+    import os
+    ps = os.environ.get("DPE_PROBE_PROPAGATE_STRIDE")
+    if ps:
+        params = params.replace(propagate_stride=int(ps))
+        print(f"propagate_stride override: {ps}", flush=True)
     print(f"scene ready in {time.time() - t0:.1f}s; params: APD={params.use_APD} "
           f"edge={params.use_edge} geom={params.geom_consistency} "
           f"state={params.state.name}", flush=True)
