@@ -414,15 +414,35 @@ def view_selection(key, cost_array: jnp.ndarray, prior: jnp.ndarray,
     cdf = jnp.cumsum(probs, axis=0) / jnp.maximum(psum, 1e-30)
     cdf = jnp.where(psum > 0, cdf, 0.0)  # zero-prob -> no draws hit
 
-    u = jax.random.uniform(key, (15, *cost_array.shape[2:]))  # (15, H, W)
-    hits = cdf[None, :] > u[:, None]                          # (15, V, H, W)
-    first = jnp.argmax(hits, axis=1)                          # (15, H, W)
-    any_hit = jnp.any(hits, axis=1)                           # (15, H, W)
-    one_hot = (
-        (first[:, None] == jnp.arange(nview)[None, :, None, None])
-        & any_hit[:, None]
-    )
-    view_weight = jnp.sum(one_hot, axis=0).astype(jnp.int32)  # (V, H, W)
+    H, W = cost_array.shape[2:]
+    if H * W > 4_000_000:
+        # Full-resolution frames: the vectorized draw materializes
+        # (15, V, H, W) hit masks (~1 GB at 24 MP, a top OOM allocation at
+        # 3200x2400) — accumulate the 15 Monte-Carlo draws in a scan
+        # instead (per-draw keys; the stream differs from the small-frame
+        # path, which is fine — draws are i.i.d. uniforms either way).
+        def draw(acc, key_i):
+            ui = jax.random.uniform(key_i, (H, W))
+            hits = cdf > ui[None]                             # (V, H, W)
+            first = jnp.argmax(hits, axis=0)
+            any_hit = jnp.any(hits, axis=0)
+            one_hot = (first[None] == jnp.arange(nview)[:, None, None]) \
+                & any_hit[None]
+            return acc + one_hot.astype(jnp.int32), None
+
+        view_weight, _ = jax.lax.scan(
+            draw, jnp.zeros((nview, H, W), jnp.int32),
+            jax.random.split(key, 15))
+    else:
+        u = jax.random.uniform(key, (15, H, W))               # (15, H, W)
+        hits = cdf[None, :] > u[:, None]                      # (15, V, H, W)
+        first = jnp.argmax(hits, axis=1)                      # (15, H, W)
+        any_hit = jnp.any(hits, axis=1)                       # (15, H, W)
+        one_hot = (
+            (first[:, None] == jnp.arange(nview)[None, :, None, None])
+            & any_hit[:, None]
+        )
+        view_weight = jnp.sum(one_hot, axis=0).astype(jnp.int32)
 
     w_pos = view_weight > 0
     selected = jnp.sum(

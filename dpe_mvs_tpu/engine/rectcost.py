@@ -41,6 +41,18 @@ from ..ops import sampling
 from ..ops import warp as warp_ops
 
 K_MIN_VAR = 1e-5
+
+# Row banding of the stacked cost evaluation (exact — every read is
+# row-local in the rect frame): frames whose (V, Hs, Ws) field exceeds
+# BAND_FULL_BYTES run the offset-accumulation loop per row band sized to
+# BAND_FIELD_BYTES per live field (~20 live at once), bounding HBM
+# transients at full-resolution frames (3200x2400 OOMed unbanded).
+# Module-level so tests can force the banded path on small frames.
+# 96 MB: the strong iteration at 3200x2400 stride-2 holds ~2.5 GB of
+# candidate cost fields already — its 143 MB-field screening evals must
+# band as well (the 192 MB gate OOMed there).
+BAND_FULL_BYTES = 96e6
+BAND_FIELD_BYTES = 48e6
 BIG = float(1e30)
 
 
@@ -693,130 +705,228 @@ def rect_cost_vector_stacked(
                                      d_o)[..., None]         # (H, W, 3)
     chans = jnp.broadcast_to(jnp.moveaxis(q_o, -1, 0)[None],
                              (V, 3, H, W))
+    # Output-strided fwd warp fields: gather only the stride-subgrid's
+    # rows/cols (identical values to warping full-res then subsampling —
+    # nearest gathers of the same indices; 1/stride^2 of the gather work).
     if cache is not None:
-        qw = _warp_groups(cache.fwd, chans, nearest=True,
-                          interpret=interpret)               # (V, 3, Hs, Ws)
+        fwd_groups = cache.fwd
+    elif stride > 1:
+        fwd_groups = tuple(g._replace(vy=g.vy[:, ::stride],
+                                      hx=g.hx[:, ::stride, ::stride])
+                           for g in stack.fwd)
     else:
-        qw = sub(_warp_groups(stack.fwd, chans, nearest=True,
-                              interpret=interpret))
-    nq = jnp.einsum("vij,vjhw->vihw", stack.R2r, qw)         # (V, 3, Hs, Ws)
-    gx = stack.b * nq[:, 0]
-    gy = stack.b * nq[:, 1]
-    g0 = stack.b * stack.f * nq[:, 2]
+        fwd_groups = stack.fwd
 
     Hs, Ws = -(-Hp // stride), -(-Wp // stride)              # == a[::stride]
     u = (jnp.arange(Ws, dtype=jnp.float32) * stride)[None, None, :]
-    v = (jnp.arange(Hs, dtype=jnp.float32) * stride)[None, :, None]
-
-    # Depth sign (cheirality) at the window center (as ncc_rect_one):
-    # z = -1 / (q . dir) with q = n/d in the rect frame.
-    denom_q = (nq[:, 0] * (u - stack.cx) + nq[:, 1] * (v - stack.cy)) \
-        / stack.f + nq[:, 2]
-    z_pos = denom_q < 0
-
-    xs_c = u + gx * (u - stack.cx) + gy * (v - stack.cy) + g0
-    xs_c = jnp.where(jnp.isfinite(xs_c), xs_c, -1.0)
 
     if cache is not None:
         ref_oks, lo_s, hi_s = cache.ref_ok, cache.src_lo, cache.src_hi
     else:
         ref_oks = sub(stack.ref_ok)
         lo_s, hi_s = subr(stack.src_lo), subr(stack.src_hi)
-    # Center validity via the per-row valid interval of src_ok (exactly
-    # ok[floor(xs_c)] for a convex row — no gather).
-    valid = (ref_oks > 0.5) & z_pos & \
-        (xs_c >= jnp.maximum(lo_s, 0.0)) & \
-        (xs_c < hi_s + 1.0) & (xs_c <= Wp - 1.0)
 
     oys = sorted(set(float(o[1]) for o in offsets))
-    zero = jnp.zeros((V, Hs, Ws), jnp.float32)
-    sum_src = sum_src2 = sum_rs = zero
+    pad_r = int(max(abs(o[1]) for o in offsets)) + (stride - 1)
     if cache is None:
-        ref_c = sub(stack.ref_rect)
-        sum_w = sum_ref = sum_ref2 = zero
         inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
         inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
-
-    # Offsets per gather launch, bounded so the (V, Hs, kc, Ws) query/
-    # result transients stay under ~256 MB each at full-resolution frames.
-    k_cap = max(1, int(256e6 // (V * Hs * Ws * 4)))
-
-    flat = 0
-    for oy_i, oy in enumerate(oys):
-        oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
-        # Window rows keep full-res texture; only the center rows are
-        # subsampled (the gathered columns span the full frame width).
-        if cache is not None:
-            src_row = cache.src_rows[oy_i]
-        else:
-            src_row = subr(_shift3(stack.src_rect, int(oy), 0))
-        for c0 in range(0, len(oxs), k_cap):
-            ox_c = oxs[c0:c0 + k_cap]
-            k = len(ox_c)
-            xs_list, ref_list, w_list = [], [], []
-            for ox in ox_c:
-                us = u + ox
-                vs = v + oy
-                xs = us + gx * (us - stack.cx) + gy * (vs - stack.cy) + g0
-                xs_list.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
-                if cache is None:
-                    ref_s = sub(_shift3(stack.ref_rect, int(oy), int(ox)))
-                    ref_list.append(ref_s)
-                    spatial = float(np.sqrt(ox * ox + oy * oy))
-                    w_list.append(jnp.exp(-spatial * inv_2ss
-                                          - jnp.abs(ref_s - ref_c)
-                                          * inv_2sc))
-            xs_cat = jnp.stack(xs_list, axis=2)              # (V, Hs, k, Ws)
-            src_cat = rowgather.bilinear_x(
-                src_row.reshape(V * Hs, Wp),
-                xs_cat.reshape(V * Hs, k * Ws), interpret=interpret)
-            src_s = src_cat.reshape(V, Hs, k, Ws)
-            for j in range(k):
-                s = src_s[:, :, j]
-                if cache is None:
-                    w = w_list[j]
-                    r = ref_list[j]
-                    sum_w = sum_w + w
-                    sum_ref = sum_ref + w * r
-                    sum_ref2 = sum_ref2 + w * r * r
-                    sum_src = sum_src + w * s
-                    sum_src2 = sum_src2 + w * s * s
-                    sum_rs = sum_rs + w * r * s
-                else:
-                    w = cache.w[flat + j]
-                    sum_src = sum_src + w * s
-                    sum_src2 = sum_src2 + w * s * s
-                    sum_rs = sum_rs + cache.wr[flat + j] * s
-            flat += k
-
-    if cache is None:
-        inv_w = 1.0 / sum_w
-        m_ref = sum_ref * inv_w
-        var_ref = sum_ref2 * inv_w - m_ref * m_ref
+        # Row-padded rect textures: a band's oy-shifted rows become one
+        # dynamic row slice (identical values to _shift3's edge clamping).
+        ref_pad = jnp.pad(stack.ref_rect, ((0, 0), (pad_r, pad_r), (0, 0)),
+                          mode="edge")
+        src_pad = jnp.pad(stack.src_rect, ((0, 0), (pad_r, pad_r), (0, 0)),
+                          mode="edge")
+        dep_sub = subr(stack.src_depth) if geom else None
     else:
-        inv_w, m_ref, var_ref = cache.inv_w, cache.m_ref, cache.var_ref
-    m_src = sum_src * inv_w
-    var_src = sum_src2 * inv_w - m_src * m_src
-    covar = sum_rs * inv_w - m_ref * m_src
-    den = jnp.sqrt(jnp.maximum(var_ref * var_src, K_MIN_VAR * K_MIN_VAR))
-    nccv = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
-    c = jnp.where((var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR),
-                  COST_MAX, nccv)
-    c = jnp.where(valid, c, COST_MAX)
+        dep_sub = (cache.src_depth if cache.src_depth is not None
+                   else subr(stack.src_depth)) if geom else None
 
-    if geom:
-        dep = (cache.src_depth if cache is not None and
-               cache.src_depth is not None else subr(stack.src_depth))
-        z_src = rowgather.row_gather(
-            dep.reshape(V * Hs, Wp),
-            jnp.clip(xs_c, 0.0, Wp - 1).astype(jnp.int32)
-            .reshape(V * Hs, Ws),
-            interpret=interpret).reshape(V, Hs, Ws)
-        ok_g = (xs_c >= 0.0) & (xs_c <= Wp - 1.0)
-        x_back = xs_c + stack.f * stack.b / jnp.where(z_src > 0, z_src, 1e30)
-        err = jnp.minimum(jnp.abs(x_back - u), GEOM_COST_MAX)
-        g = jnp.where(ok_g & (z_src > 0), err, GEOM_COST_MAX)
-        c = c + params.geom_factor * g
+    # Band height: bound the per-offset accumulation transients (~20 live
+    # (V, hb, Ws) f32 fields) at full-resolution frames. Frames whose full
+    # field is small run as ONE band — the direct call compiles to exactly
+    # the pre-banding program (round-5: 3200x2400 OOMed in _init_stage with
+    # ~20 full-field copies; banding is exact because every read is
+    # row-local in the rect frame).
+    field_bytes = V * Hs * Ws * 4
+    if field_bytes <= BAND_FULL_BYTES:
+        hb, nb = Hs, 1
+    else:
+        hb = max(8, int(BAND_FIELD_BYTES // (V * Ws * 4)) // 8 * 8)
+        hb = min(hb, Hs)
+        nb = -(-Hs // hb)
+
+    def band_cost(r0):
+        """Cost field rows [r0, r0+hb) of (V, Hs, Ws); r0 static 0 when
+        nb == 1, traced under lax.map otherwise. The plane TRANSPORT (fwd
+        warp + disparity coefficients + center validity) also runs per
+        band — full-field transport held ~1.4 GB of (V, Hs, Ws) fields
+        live at 3200x2400 (the second round-5 strong-iter OOM)."""
+        fwd_b = tuple(g._replace(
+            vy=jax.lax.dynamic_slice_in_dim(g.vy, r0, hb, axis=1),
+            hx=jax.lax.dynamic_slice_in_dim(g.hx, r0, hb, axis=1))
+            for g in fwd_groups)
+        qw_b = _warp_groups(fwd_b, chans, nearest=True,
+                            interpret=interpret)             # (V, 3, hb, Ws)
+        nq_b = jnp.einsum("vij,vjhw->vihw", stack.R2r, qw_b)
+        gx_b = stack.b * nq_b[:, 0]
+        gy_b = stack.b * nq_b[:, 1]
+        g0_b = stack.b * stack.f * nq_b[:, 2]
+        v_b = (r0 + jnp.arange(hb, dtype=jnp.float32))[None, :, None] \
+            * stride
+
+        # Depth sign (cheirality) at the window center (as ncc_rect_one):
+        # z = -1 / (q . dir) with q = n/d in the rect frame.
+        denom_q = (nq_b[:, 0] * (u - stack.cx)
+                   + nq_b[:, 1] * (v_b - stack.cy)) / stack.f + nq_b[:, 2]
+        z_pos = denom_q < 0
+        xs_cb = u + gx_b * (u - stack.cx) + gy_b * (v_b - stack.cy) + g0_b
+        xs_cb = jnp.where(jnp.isfinite(xs_cb), xs_cb, -1.0)
+        ref_ok_b = jax.lax.dynamic_slice_in_dim(ref_oks, r0, hb, axis=1)
+        lo_b = jax.lax.dynamic_slice_in_dim(lo_s, r0, hb, axis=1)
+        hi_b = jax.lax.dynamic_slice_in_dim(hi_s, r0, hb, axis=1)
+        # Center validity via the per-row valid interval of src_ok (exactly
+        # ok[floor(xs_c)] for a convex row — no gather).
+        valid_b = (ref_ok_b > 0.5) & z_pos & \
+            (xs_cb >= jnp.maximum(lo_b, 0.0)) & \
+            (xs_cb < hi_b + 1.0) & (xs_cb <= Wp - 1.0)
+        zero = jnp.zeros((V, hb, Ws), jnp.float32)
+        sum_src = sum_src2 = sum_rs = zero
+        if cache is None:
+            sum_w = sum_ref = sum_ref2 = zero
+            ref_c = jax.lax.dynamic_slice_in_dim(
+                ref_pad, r0 * stride + pad_r, hb * stride,
+                axis=1)[:, ::stride, ::stride]
+
+        # Offsets per gather launch, bounded so the (V, hb, kc, Ws) query/
+        # result transients stay under ~256 MB each.
+        k_cap = max(1, int(256e6 // (V * hb * Ws * 4)))
+        # On large frames, XLA's scheduler hoists every chunk's gather
+        # above the accumulation that consumes it (~20 simultaneous
+        # (V, hb, k, Ws) copies live — the 3200x2400 strong-iter OOM);
+        # an identity optimization_barrier per chunk chains each gather
+        # behind the previous chunk's accumulation. Small frames keep
+        # the free-scheduling overlap.
+        use_barrier = V * hb * Ws * 4 > 24e6
+        flat = 0
+        for oy_i, oy in enumerate(oys):
+            oxs = [float(o[0]) for o in offsets if float(o[1]) == oy]
+            # Window rows keep full-res texture; only the center rows are
+            # subsampled (gathered columns span the full frame width).
+            if cache is not None:
+                src_row = jax.lax.dynamic_slice_in_dim(
+                    cache.src_rows[oy_i], r0, hb, axis=1)
+                ref_rows = None
+            else:
+                src_row = jax.lax.dynamic_slice_in_dim(
+                    src_pad, r0 * stride + int(oy) + pad_r, hb * stride,
+                    axis=1)[:, ::stride]
+                ref_rows = jax.lax.dynamic_slice_in_dim(
+                    ref_pad, r0 * stride + int(oy) + pad_r, hb * stride,
+                    axis=1)[:, ::stride]
+            for c0 in range(0, len(oxs), k_cap):
+                ox_c = oxs[c0:c0 + k_cap]
+                k = len(ox_c)
+                xs_list, ref_list, w_list = [], [], []
+                for ox in ox_c:
+                    us = u + ox
+                    vs = v_b + oy
+                    xs = us + gx_b * (us - stack.cx) + \
+                        gy_b * (vs - stack.cy) + g0_b
+                    xs_list.append(jnp.where(jnp.isfinite(xs), xs, 0.0))
+                    if cache is None:
+                        ref_s = _shift3(ref_rows, 0, int(ox))[..., ::stride]
+                        ref_list.append(ref_s)
+                        spatial = float(np.sqrt(ox * ox + oy * oy))
+                        w_list.append(jnp.exp(-spatial * inv_2ss
+                                              - jnp.abs(ref_s - ref_c)
+                                              * inv_2sc))
+                xs_cat = jnp.stack(xs_list, axis=2)          # (V, hb, k, Ws)
+                src_cat = rowgather.bilinear_x(
+                    src_row.reshape(V * hb, Wp),
+                    xs_cat.reshape(V * hb, k * Ws), interpret=interpret)
+                src_s = src_cat.reshape(V, hb, k, Ws)
+                for j in range(k):
+                    s = src_s[:, :, j]
+                    if cache is None:
+                        w = w_list[j]
+                        r = ref_list[j]
+                        sum_w = sum_w + w
+                        sum_ref = sum_ref + w * r
+                        sum_ref2 = sum_ref2 + w * r * r
+                        sum_src = sum_src + w * s
+                        sum_src2 = sum_src2 + w * s * s
+                        sum_rs = sum_rs + w * r * s
+                    else:
+                        w = jax.lax.dynamic_slice_in_dim(
+                            cache.w[flat + j], r0, hb, axis=1)
+                        wr = jax.lax.dynamic_slice_in_dim(
+                            cache.wr[flat + j], r0, hb, axis=1)
+                        sum_src = sum_src + w * s
+                        sum_src2 = sum_src2 + w * s * s
+                        sum_rs = sum_rs + wr * s
+                if use_barrier:
+                    if cache is None:
+                        (sum_w, sum_ref, sum_ref2, sum_src, sum_src2,
+                         sum_rs, gx_b, gy_b, g0_b) = \
+                            jax.lax.optimization_barrier(
+                                (sum_w, sum_ref, sum_ref2, sum_src,
+                                 sum_src2, sum_rs, gx_b, gy_b, g0_b))
+                    else:
+                        (sum_src, sum_src2, sum_rs, gx_b, gy_b, g0_b) = \
+                            jax.lax.optimization_barrier(
+                                (sum_src, sum_src2, sum_rs, gx_b, gy_b,
+                                 g0_b))
+                flat += k
+
+        if cache is None:
+            inv_w = 1.0 / sum_w
+            m_ref = sum_ref * inv_w
+            var_ref = sum_ref2 * inv_w - m_ref * m_ref
+        else:
+            inv_w = jax.lax.dynamic_slice_in_dim(cache.inv_w, r0, hb, axis=1)
+            m_ref = jax.lax.dynamic_slice_in_dim(cache.m_ref, r0, hb, axis=1)
+            var_ref = jax.lax.dynamic_slice_in_dim(cache.var_ref, r0, hb,
+                                                   axis=1)
+        m_src = sum_src * inv_w
+        var_src = sum_src2 * inv_w - m_src * m_src
+        covar = sum_rs * inv_w - m_ref * m_src
+        den = jnp.sqrt(jnp.maximum(var_ref * var_src, K_MIN_VAR * K_MIN_VAR))
+        nccv = jnp.clip(1.0 - covar / den, 0.0, COST_MAX)
+        c_b = jnp.where((var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR),
+                        COST_MAX, nccv)
+        c_b = jnp.where(valid_b, c_b, COST_MAX)
+
+        if geom:
+            dep_b = jax.lax.dynamic_slice_in_dim(dep_sub, r0, hb, axis=1)
+            z_src = rowgather.row_gather(
+                dep_b.reshape(V * hb, Wp),
+                jnp.clip(xs_cb, 0.0, Wp - 1).astype(jnp.int32)
+                .reshape(V * hb, Ws),
+                interpret=interpret).reshape(V, hb, Ws)
+            ok_g = (xs_cb >= 0.0) & (xs_cb <= Wp - 1.0)
+            x_back = xs_cb + stack.f * stack.b / jnp.where(z_src > 0, z_src,
+                                                           1e30)
+            err = jnp.minimum(jnp.abs(x_back - u), GEOM_COST_MAX)
+            g = jnp.where(ok_g & (z_src > 0), err, GEOM_COST_MAX)
+            c_b = c_b + params.geom_factor * g
+        return c_b
+
+    if nb == 1:
+        c = band_cost(0)
+    else:
+        # Last band re-covers rows of its neighbour (identical values), so
+        # the stitched field is exact.
+        starts = jnp.minimum(jnp.arange(nb) * hb, Hs - hb).astype(jnp.int32)
+        c_bands = jax.lax.map(band_cost, starts)             # (nb, V, hb, Ws)
+
+        def upd(buf, xs):
+            r0, cb = xs
+            return jax.lax.dynamic_update_slice_in_dim(buf, cb, r0, axis=1), \
+                None
+
+        c, _ = jax.lax.scan(upd, jnp.zeros((V, Hs, Ws), jnp.float32),
+                            (starts, c_bands))
 
     back = _warp_groups(stack.bwd, c[:, None], nearest=True,
                         interpret=interpret, stride=stride)[:, 0]  # (V, H, W)

@@ -401,14 +401,20 @@ def propagate_strong_rect(key, data: SweepData, sup, state: PMState,
     else:
         flags, cand_planes = classic_candidate_planes(state.cost, state.plane)
 
-    cost_array = jax.lax.map(cost_fn_s, cand_planes)        # (8, V, H, W)
-    cost_array = jnp.where(flags[:, None], cost_array, 0.0)
+    # Above 4 MP the two (8, V, H, W) f32 screening volumes are ~2.5 GB of
+    # the strong-iter footprint; store them bf16 — they only feed the
+    # candidate argmin and view-selection counts, and the winner is
+    # re-scored exactly below (stride > 1 always holds at such sizes).
+    cdt = jnp.bfloat16 if H * W > 4_000_000 else jnp.float32
+    cost_array = jax.lax.map(lambda p: cost_fn_s(p).astype(cdt),
+                             cand_planes)                   # (8, V, H, W)
+    cost_array = jnp.where(flags[:, None], cost_array, jnp.asarray(0.0, cdt))
 
     if params.use_edge:
         itf = jnp.asarray(it, jnp.float32)
         good_thr = 0.8 * jnp.exp(itf * itf / -90.0)
         f2, p2 = second_pass_candidate_planes(state.cost, state.plane, it)
-        c2 = jax.lax.map(cost_fn_s, p2)
+        c2 = jax.lax.map(lambda p: cost_fn_s(p).astype(cdt), p2)
         good1 = jnp.sum(cost_array < good_thr, axis=1)
         bad1 = jnp.sum(cost_array > 1.2, axis=1)
         c2m = jnp.where(f2[:, None], c2, COST_MAX)

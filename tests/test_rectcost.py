@@ -135,3 +135,39 @@ def test_geom_cost_zero_for_consistent_depths(scene):
     gv = g[(costs_ng[0][interior] < COST_MAX)]
     # Median forward-backward reprojection error under true geometry < 1 px.
     assert np.median(gv) < 1.0, float(np.median(gv))
+
+
+def test_stacked_banded_matches_unbanded(scene, monkeypatch):
+    """Row-banded accumulation (full-res HBM bound) must reproduce the
+    unbanded stacked cost field — every read is row-local, so banding
+    reorders only the slicing, not the math; the residual is XLA fusion
+    noise (the lax.map band body fuses FMA/exp chains differently than
+    the unbanded program), bounded at 1e-3 cost units."""
+    sc, inputs, data, rh, views, v_pad = scene
+    params = schedule_params(PatchMatchParams(), 0, None)
+    offs = pm.strong_offsets(params)
+    cam, plane_gt = _gt_plane_field(sc, inputs)
+    src_depths = np.stack([sc.gt_depths[i + 1] for i in range(v_pad)])
+    views_g = rectcost.build_rect_views(
+        rh, inputs.images, src_depths, cameras=inputs.cameras,
+        interpret=True)
+    stack = rectcost.build_rect_stack(views_g, rh.statics)
+    plane = jnp.asarray(plane_gt)
+
+    for stride, geom in ((1, False), (1, True), (2, False)):
+        cache = (rectcost.build_eval_cache(stack, params, offs,
+                                           stride=stride, geom=geom)
+                 if stride > 1 else None)
+        ref = np.asarray(rectcost.rect_cost_vector_stacked(
+            stack, plane, data.view_valid, params, offs, geom=geom,
+            interpret=True, stride=stride, cache=cache))
+        monkeypatch.setattr(rectcost, "BAND_FULL_BYTES", 0)
+        monkeypatch.setattr(rectcost, "BAND_FIELD_BYTES",
+                            4 * v_pad * 20 * stack.src_rect.shape[-1])
+        banded = np.asarray(rectcost.rect_cost_vector_stacked(
+            stack, plane, data.view_valid, params, offs, geom=geom,
+            interpret=True, stride=stride, cache=cache))
+        monkeypatch.setattr(rectcost, "BAND_FULL_BYTES", 192e6)
+        monkeypatch.setattr(rectcost, "BAND_FIELD_BYTES", 48e6)
+        np.testing.assert_allclose(banded, ref, rtol=0, atol=1e-3,
+                                   err_msg=f"stride={stride} geom={geom}")

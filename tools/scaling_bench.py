@@ -36,6 +36,12 @@ jaxconfig.setup()
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# The axon TPU plugin pins the platform over the JAX_PLATFORMS env var
+# (same gotcha as __graft_entry__.dryrun_multichip) — force CPU through
+# the config knob BEFORE any backend initialization, or this "CPU mesh"
+# bench silently runs on the tunneled chip.
+jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> int:
     import tempfile
@@ -56,6 +62,10 @@ def main() -> int:
 
     devs = jax.devices()
     print(f"devices: {len(devs)} x {devs[0].platform}", flush=True)
+    if devs[0].platform != "cpu":
+        raise SystemExit("refusing to run the virtual-mesh scaling bench "
+                         "on a real accelerator: wall-clock would mix chip "
+                         "contention into the scaling numbers")
     folder = tempfile.mkdtemp(prefix="dpe_scale_")
     sc = make_plane_scene(folder, width=width, height=height,
                           num_views=max(views, B), seed=3)
