@@ -75,7 +75,10 @@ A_D0_STORE_MAX_PX = 1_000_000   # above this, a_d0 is regathered per color
 # band's anchor profiles on the fly (see _gather_band_profiles). Trades the
 # one-time anchor gather for one gather per weak call (6x/sweep) — only
 # where the store cannot exist.
-AP_STORE_MAX_PX = 2_200_000
+# 1.5M: with the round-5 strong-iter EvalCache (~1.5 GB resident in the
+# screening programs at 1600x1200), the materialized store no longer fits
+# next to it at 1.92M px — 1600x1200 runs in streaming mode now.
+AP_STORE_MAX_PX = 1_500_000
 # Shared volume machinery lives in rectcost (also used by strong_rect);
 # re-exported here for compatibility.
 from .rectcost import (S_CHUNK, VALID_THRESH, VOL_INVALID,  # noqa: E402
