@@ -728,19 +728,6 @@ def rect_cost_vector_stacked(
 
     oys = sorted(set(float(o[1]) for o in offsets))
     pad_r = int(max(abs(o[1]) for o in offsets)) + (stride - 1)
-    if cache is None:
-        inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
-        inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
-        # Row-padded rect textures: a band's oy-shifted rows become one
-        # dynamic row slice (identical values to _shift3's edge clamping).
-        ref_pad = jnp.pad(stack.ref_rect, ((0, 0), (pad_r, pad_r), (0, 0)),
-                          mode="edge")
-        src_pad = jnp.pad(stack.src_rect, ((0, 0), (pad_r, pad_r), (0, 0)),
-                          mode="edge")
-        dep_sub = subr(stack.src_depth) if geom else None
-    else:
-        dep_sub = (cache.src_depth if cache.src_depth is not None
-                   else subr(stack.src_depth)) if geom else None
 
     # Band height: bound the per-offset accumulation transients (~20 live
     # (V, hb, Ws) f32 fields) at full-resolution frames. Frames whose full
@@ -755,6 +742,24 @@ def rect_cost_vector_stacked(
         hb = max(8, int(BAND_FIELD_BYTES // (V * Ws * 4)) // 8 * 8)
         hb = min(hb, Hs)
         nb = -(-Hs // hb)
+
+    if cache is None:
+        inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
+        inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
+        if nb > 1:
+            # Row-padded rect textures: a band's oy-shifted rows become one
+            # dynamic row slice (identical values to _shift3's edge
+            # clamping). Only materialized when banding — the pads are two
+            # extra ~(V, Hp, Wp) residents, which cost 1600x1200 its HBM
+            # margin when always-on (round-5 regression).
+            ref_pad = jnp.pad(stack.ref_rect,
+                              ((0, 0), (pad_r, pad_r), (0, 0)), mode="edge")
+            src_pad = jnp.pad(stack.src_rect,
+                              ((0, 0), (pad_r, pad_r), (0, 0)), mode="edge")
+        dep_sub = subr(stack.src_depth) if geom else None
+    else:
+        dep_sub = (cache.src_depth if cache.src_depth is not None
+                   else subr(stack.src_depth)) if geom else None
 
     def band_cost(r0):
         """Cost field rows [r0, r0+hb) of (V, Hs, Ws); r0 static 0 when
@@ -794,9 +799,12 @@ def rect_cost_vector_stacked(
         sum_src = sum_src2 = sum_rs = zero
         if cache is None:
             sum_w = sum_ref = sum_ref2 = zero
-            ref_c = jax.lax.dynamic_slice_in_dim(
-                ref_pad, r0 * stride + pad_r, hb * stride,
-                axis=1)[:, ::stride, ::stride]
+            if nb == 1:
+                ref_c = sub(stack.ref_rect)
+            else:
+                ref_c = jax.lax.dynamic_slice_in_dim(
+                    ref_pad, r0 * stride + pad_r, hb * stride,
+                    axis=1)[:, ::stride, ::stride]
 
         # Offsets per gather launch, bounded so the (V, hb, kc, Ws) query/
         # result transients stay under ~256 MB each.
@@ -817,6 +825,9 @@ def rect_cost_vector_stacked(
                 src_row = jax.lax.dynamic_slice_in_dim(
                     cache.src_rows[oy_i], r0, hb, axis=1)
                 ref_rows = None
+            elif nb == 1:
+                src_row = subr(_shift3(stack.src_rect, int(oy), 0))
+                ref_rows = subr(_shift3(stack.ref_rect, int(oy), 0))
             else:
                 src_row = jax.lax.dynamic_slice_in_dim(
                     src_pad, r0 * stride + int(oy) + pad_r, hb * stride,
